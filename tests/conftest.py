@@ -1,0 +1,21 @@
+"""Test config: run on CPU with 8 virtual devices.
+
+Multi-chip sharding is validated the standard JAX way
+(``xla_force_host_platform_device_count``) so the suite runs anywhere;
+real-TPU numerics are exercised by bench.py / the driver.
+"""
+
+import os
+
+# Force CPU even if the ambient environment selects a TPU platform —
+# unit tests must not monopolise (or wait on) the real chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
