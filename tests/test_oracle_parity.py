@@ -1,0 +1,138 @@
+"""End-to-end numerical parity: reference torch model (CPU oracle) vs
+our JAX model with ported weights.
+
+This is the gating test for the checkpoint-port milestone: a randomly
+initialised reference Generator/Discriminator state_dict is ported via
+``transeditor_tpu.io.torch_port`` and must reproduce the reference's
+outputs for fixed inputs.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from oracle_utils import load_reference_module  # noqa: E402
+from transeditor_tpu.config import ModelConfig  # noqa: E402
+from transeditor_tpu.io import (  # noqa: E402
+    discriminator_params_from_torch,
+    generator_params_from_torch,
+)
+from transeditor_tpu.models import Discriminator, Generator  # noqa: E402
+
+SIZE = 32
+CFG = ModelConfig(size=SIZE, n_trans=2, pixel_norm_axis="feature")
+
+
+@pytest.fixture(scope="module")
+def ref_mod():
+    return load_reference_module()
+
+
+@pytest.fixture(scope="module")
+def ref_gen(ref_mod):
+    torch.manual_seed(0)
+    g = ref_mod.Generator(
+        SIZE, CFG.style_dim, CFG.param_dim, CFG.token_dim,
+        channel_multiplier=CFG.channel_multiplier,
+        layer_noise_injection=False, use_spatial_mapping=True,
+        num_region=1, n_trans=CFG.n_trans, pixel_norm_op_dim=1,
+        no_trans=False)
+    g.eval()
+    return g
+
+
+@pytest.fixture(scope="module")
+def ported_gen(ref_gen):
+    sd = {k: v.detach().numpy() for k, v in ref_gen.state_dict().items()}
+    params = generator_params_from_torch(sd, CFG)
+    return Generator(CFG), params
+
+
+def _codes(seed, b=2):
+    rng = np.random.RandomState(seed)
+    z = rng.randn(b, CFG.style_dim, 16).astype(np.float32)
+    p = rng.randn(b, CFG.param_dim, 16).astype(np.float32)
+    return z, p
+
+
+def test_generator_image_parity(ref_gen, ported_gen):
+    z, p = _codes(7)
+    with torch.no_grad():
+        ref_img, ref_lat, _ = ref_gen(torch.tensor(z), torch.tensor(p),
+                                      return_latents=True)
+    g, params = ported_gen
+    out = g.apply(params, jnp.asarray(z.transpose(0, 2, 1)),
+                  jnp.asarray(p.transpose(0, 2, 1)))
+    got_img = np.asarray(out.image).transpose(0, 3, 1, 2)
+    want_img = ref_img.numpy()
+    np.testing.assert_allclose(got_img, want_img, atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.latent), ref_lat.numpy(),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_mapped_codes_parity(ref_gen, ported_gen):
+    z, p = _codes(11)
+    with torch.no_grad():
+        ref_zp, ref_pp = ref_gen(torch.tensor(z), torch.tensor(p),
+                                 return_mapped_codes=True)
+    g, params = ported_gen
+    zp, pp = g.apply(params, jnp.asarray(z.transpose(0, 2, 1)),
+                     jnp.asarray(p.transpose(0, 2, 1)), method="map_codes")
+    np.testing.assert_allclose(
+        np.asarray(zp), ref_zp.numpy().transpose(0, 2, 1),
+        atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(pp), ref_pp.numpy().transpose(0, 2, 1),
+        atol=1e-5, rtol=1e-4)
+
+
+def test_plus_space_decode_parity(ref_gen, ported_gen):
+    """use_*_mapping=False decode — the projector/editor seam
+    (projector_optimization.py:203-205)."""
+    z, p = _codes(13)
+    with torch.no_grad():
+        zp, pp = ref_gen(torch.tensor(z), torch.tensor(p),
+                         return_mapped_codes=True)
+        ref_img, _, _ = ref_gen(zp, pp, use_spatial_mapping=False,
+                                use_style_mapping=False)
+    g, params = ported_gen
+    out = g.apply(params, jnp.asarray(zp.numpy().transpose(0, 2, 1)),
+                  jnp.asarray(pp.numpy().transpose(0, 2, 1)),
+                  map_z=False, map_p=False)
+    np.testing.assert_allclose(
+        np.asarray(out.image).transpose(0, 3, 1, 2), ref_img.numpy(),
+        atol=2e-4, rtol=1e-3)
+
+
+def test_input_is_latent_parity(ref_gen, ported_gen):
+    z, p = _codes(17)
+    with torch.no_grad():
+        _, ref_lat, _ = ref_gen(torch.tensor(z), torch.tensor(p),
+                                return_latents=True)
+        ref_img, _, _ = ref_gen(ref_lat, torch.tensor(p),
+                                input_is_latent=True)
+    g, params = ported_gen
+    out = g.apply(params, jnp.asarray(ref_lat.numpy()),
+                  jnp.asarray(p.transpose(0, 2, 1)), input_is_latent=True)
+    np.testing.assert_allclose(
+        np.asarray(out.image).transpose(0, 3, 1, 2), ref_img.numpy(),
+        atol=2e-4, rtol=1e-3)
+
+
+def test_discriminator_parity(ref_mod):
+    torch.manual_seed(1)
+    ref_d = ref_mod.Discriminator(SIZE, channel_multiplier=2)
+    ref_d.eval()
+    rng = np.random.RandomState(3)
+    img = rng.randn(4, 3, SIZE, SIZE).astype(np.float32)
+    with torch.no_grad():
+        want = ref_d(torch.tensor(img)).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in ref_d.state_dict().items()}
+    params = discriminator_params_from_torch(sd, CFG)
+    d = Discriminator(CFG)
+    got = np.asarray(d.apply(params, jnp.asarray(img.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)

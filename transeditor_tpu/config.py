@@ -42,6 +42,9 @@ class ModelConfig:
     no_trans: bool = False
     attn_groups: int = 4
     attn_compress: int = 4
+    # test-only knob: cap synthesis channel counts so unit tests run on
+    # CPU quickly.  512 == reference behaviour; never change for parity.
+    max_channels: int = 512
     # compute dtype for the synthesis/discriminator path; params are
     # always float32.  bfloat16 keeps the MXU at full rate.
     dtype: str = "float32"
@@ -74,11 +77,12 @@ class ModelConfig:
     @property
     def channels(self) -> dict[int, int]:
         cm = self.channel_multiplier
-        return {
+        raw = {
             4: 512, 8: 512, 16: 512, 32: 512,
             64: 256 * cm, 128: 128 * cm, 256: 64 * cm,
             512: 32 * cm, 1024: 16 * cm,
         }
+        return {k: min(v, self.max_channels) for k, v in raw.items()}
 
     @property
     def compute_dtype(self):
