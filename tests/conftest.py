@@ -8,7 +8,10 @@ real-TPU numerics are exercised by bench.py / the driver.
 import os
 
 # Force CPU even if the ambient environment selects a TPU platform —
-# unit tests must not monopolise (or wait on) the real chip.
+# unit tests must not monopolise (or wait on) the real chip.  NOTE:
+# this image imports jax at interpreter startup (sitecustomize), so the
+# env var alone is too late; jax.config.update works because the
+# backend itself is initialised lazily.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -18,6 +21,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compile cache: this box has one CPU core, so XLA compiles
 # dominate test wall-time; cache them across pytest invocations.
