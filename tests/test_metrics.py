@@ -1,0 +1,85 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from transeditor_tpu.metrics.fid import (compute_stats, fid_from_features,
+                                         frechet_distance)
+from transeditor_tpu.metrics.prdc import compute_prdc
+from transeditor_tpu.metrics.inception import (InceptionV3Features,
+                                               port_fid_inception_weights)
+from transeditor_tpu.zoo.lpips import LPIPS
+
+
+def test_frechet_distance_identity():
+    rng = np.random.RandomState(0)
+    f = rng.randn(500, 16)
+    m, c = compute_stats(f)
+    assert frechet_distance(m, c, m, c) < 1e-8
+
+
+def test_frechet_distance_mean_shift():
+    rng = np.random.RandomState(0)
+    f1 = rng.randn(2000, 8)
+    f2 = rng.randn(2000, 8) + 1.0
+    d = fid_from_features(f1, *compute_stats(f2))
+    # |Δmean|² = 8 dominates; cov terms are small
+    assert 6.0 < d < 10.0
+
+
+def test_prdc_identical_distributions():
+    rng = np.random.RandomState(1)
+    real = rng.randn(200, 8)
+    out = compute_prdc(real, real + 1e-9, nearest_k=3)
+    assert out["precision"] > 0.99
+    assert out["recall"] > 0.99
+    assert out["coverage"] > 0.99
+
+
+def test_prdc_disjoint():
+    rng = np.random.RandomState(1)
+    real = rng.randn(100, 8)
+    fake = rng.randn(100, 8) + 50.0
+    out = compute_prdc(real, fake, nearest_k=3)
+    assert out["precision"] == 0.0
+    assert out["recall"] == 0.0
+    assert out["coverage"] == 0.0
+
+
+@pytest.mark.slow
+def test_inception_shapes():
+    net = InceptionV3Features(resize_input=False)
+    x = jnp.zeros((2, 299, 299, 3))
+    params = net.init(jax.random.PRNGKey(0), x)
+    feats = net.apply(params, x)
+    assert feats.shape == (2, 2048)
+    # port path: build a fake torch state dict from our own shapes and
+    # check roundtrip structure compatibility
+    sd = {}
+    flat = jax.tree_util.tree_flatten_with_path(params["params"])[0]
+    # synthesise a torch-style dict for one block to exercise the porter
+    rng = np.random.RandomState(0)
+    for name, (o, i, k1, k2) in [("Conv2d_1a_3x3", (32, 3, 3, 3))]:
+        sd[f"{name}.conv.weight"] = rng.randn(o, i, k1, k2).astype(np.float32)
+        sd[f"{name}.bn.weight"] = np.ones(o, np.float32)
+        sd[f"{name}.bn.bias"] = np.zeros(o, np.float32)
+        sd[f"{name}.bn.running_mean"] = np.zeros(o, np.float32)
+        sd[f"{name}.bn.running_var"] = np.ones(o, np.float32)
+    ported = port_fid_inception_weights(sd)
+    w = ported["params"]["Conv2d_1a_3x3"]["weight"]
+    assert w.shape == (3, 3, 3, 32)
+    np.testing.assert_allclose(
+        ported["params"]["Conv2d_1a_3x3"]["scale"],
+        1.0 / np.sqrt(1.0 + 1e-3), rtol=1e-6)
+
+
+def test_lpips_basic_properties():
+    net = LPIPS(net="alex")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3)) * 0.5
+    y = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3)) * 0.5
+    params = net.init(jax.random.PRNGKey(2), x, y)
+    d_same = net.apply(params, x, x)
+    d_diff = net.apply(params, x, y)
+    assert d_same.shape == (2,)
+    np.testing.assert_allclose(np.asarray(d_same), 0.0, atol=1e-6)
+    assert (np.asarray(d_diff) > 0).all()
