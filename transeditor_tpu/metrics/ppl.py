@@ -1,0 +1,100 @@
+"""Perceptual Path Length (reference metrics/evaluate_query.py:135-249).
+
+Protocol: 10k samples in batches of 64; pairs of endpoints lerped at
+t=0 (end-sampling) and t=eps (1e-4); decode; optional center crop
+(rows 3c:7c, cols 2c:6c with c=H/8 — :225-227); VGG net-lin LPIPS
+between the two decodes / eps²; filter to the [1st, 99th] percentile
+and average.  Spaces: 'all' (lerp Z and P), 'z' (P batch-fixed), 'p'
+(Z batch-fixed); ``eval_plus`` lerps in Z+/P+ and decodes with the
+mappings bypassed (the reference's headline setting, :361-364).
+
+TPU-native: one jitted program per batch computes sample -> (optional
+map) -> lerp both endpoints -> decode 2B images -> LPIPS, returning B
+distances; only the scalar batch lands on host.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transeditor_tpu.config import ModelConfig
+from transeditor_tpu.models import Generator
+from transeditor_tpu.utils.sampling import sample_tokens
+from transeditor_tpu.zoo.lpips import LPIPS
+
+
+def center_crop(img):
+    c = img.shape[1] // 8
+    return img[:, c * 3: c * 7, c * 2: c * 6, :]
+
+
+def make_ppl_batch_fn(cfg: ModelConfig, gen_params, lpips_params,
+                      space: str = "all", eval_plus: bool = True,
+                      crop: bool = False, eps: float = 1e-4,
+                      batch: int = 64):
+    gen = Generator(cfg)
+    lpips = LPIPS(net="vgg")
+
+    @jax.jit
+    def ppl_batch(key: jax.Array) -> jax.Array:
+        kz, kp = jax.random.split(key)
+        z = sample_tokens(kz, batch * 2, cfg.n_tokens, cfg.style_dim,
+                          same=(space == "p"))
+        p = sample_tokens(kp, batch * 2, cfg.n_tokens, cfg.param_dim,
+                          same=(space == "z"))
+        if eval_plus:
+            z, p = gen.apply(gen_params, z, p, method="map_codes")
+
+        t = jnp.zeros(())  # end-sampling
+
+        def lerp_pairs(x):
+            a, b = x[0::2], x[1::2]
+            e0 = a + (b - a) * t
+            e1 = a + (b - a) * (t + eps)
+            return jnp.stack([e0, e1], 1).reshape(x.shape)
+
+        lz = lerp_pairs(z) if space in ("all", "z") else z
+        lp = lerp_pairs(p) if space in ("all", "p") else p
+
+        out = gen.apply(gen_params, lz, lp,
+                        map_z=not eval_plus, map_p=not eval_plus)
+        img = out.image.astype(jnp.float32)
+        if crop:
+            img = center_crop(img)
+        if img.shape[1] > 256:
+            img = jax.image.resize(
+                img, (img.shape[0], 256, 256, 3), "bilinear")
+        d = lpips.apply(lpips_params, img[0::2], img[1::2])
+        return d / (eps * eps)
+
+    return ppl_batch
+
+
+def compute_ppl(cfg: ModelConfig, gen_params, lpips_params,
+                space: str = "all", eval_plus: bool = True,
+                crop: bool = False, n_samples: int = 10_000,
+                batch: int = 64, seed: int = 0,
+                progress: Optional[Callable[[int], None]] = None) -> float:
+    fn = make_ppl_batch_fn(cfg, gen_params, lpips_params, space,
+                           eval_plus, crop, batch=batch)
+    key = jax.random.PRNGKey(seed)
+    dists = []
+    done = 0
+    i = 0
+    while done < n_samples:
+        dists.append(np.asarray(fn(jax.random.fold_in(key, i))))
+        done += batch
+        i += 1
+        if progress:
+            progress(done)
+    distances = np.concatenate(dists)[:n_samples]
+
+    lo = np.percentile(distances, 1, method="lower")
+    hi = np.percentile(distances, 99, method="higher")
+    kept = distances[(distances >= lo) & (distances <= hi)]
+    return float(kept.mean())
