@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from transeditor_tpu.ops.act import fused_leaky_relu
+from transeditor_tpu.ops.precision import conv_precision
 from transeditor_tpu.ops.modconv import modulated_conv2d
 from transeditor_tpu.ops.resample import blur, upsample_2d
 
@@ -153,7 +154,7 @@ class EqualConv2d(nn.Module):
             padding=((self.padding, self.padding),
                      (self.padding, self.padding)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=jax.lax.Precision.HIGHEST)
+            precision=conv_precision(self.dtype))
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b.astype(y.dtype)

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from transeditor_tpu.ops.precision import conv_precision
 from transeditor_tpu.ops.resample import blur
 
 
@@ -44,14 +45,14 @@ def _conv(x, w, *, stride=1, padding=0, transpose=False):
             padding=((kh - 1, kh - 1), (kw - 1, kw - 1)),
             lhs_dilation=(stride, stride),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=lax.Precision.HIGHEST,
+            precision=conv_precision(x.dtype),
         )
     return lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=lax.Precision.HIGHEST,
+        precision=conv_precision(x.dtype),
     )
 
 

@@ -38,6 +38,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from transeditor_tpu.ops.precision import conv_precision
+
 
 def make_resample_kernel(k: Sequence[float]) -> jnp.ndarray:
     """Build a normalized 2-D FIR kernel from a 1-D tap vector.
@@ -102,7 +104,7 @@ def _upfirdn2d_nhwc(x, kernel, up, down, pad):
         rhs_dilation=(1, 1),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
-        precision=lax.Precision.HIGHEST,
+        precision=conv_precision(x.dtype),
     )
     return out
 
