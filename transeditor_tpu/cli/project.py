@@ -1,0 +1,96 @@
+"""Optimization-inversion CLI (the projector_optimization.py analogue).
+
+Usage:
+  python -m transeditor_tpu.cli.project --ckpt 790000.pt \
+      --dataset_dir images/ [--step 10000] [--batch 4] \
+      [--lpips_weights lpips_vgg.pt]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transeditor_tpu.config import ModelConfig
+from transeditor_tpu.data.dataset import ImageFolderSource
+from transeditor_tpu.invert.projector import (ProjectorConfig,
+                                              estimate_latent_stats, project)
+from transeditor_tpu.io.checkpoint import load_reference_generator
+from transeditor_tpu.utils.image import save_png, to_uint8
+from transeditor_tpu.zoo.lpips import LPIPS, load_lpips_params
+
+
+def load_lpips(args, cfg):
+    lpips = LPIPS(net="vgg")
+    x0 = jnp.zeros((1, cfg.size, cfg.size, 3))
+    if args.lpips_weights:
+        from transeditor_tpu.io.torch_port import load_torch_checkpoint
+        return load_lpips_params(load_torch_checkpoint(args.lpips_weights),
+                                 net="vgg")
+    print("WARNING: no --lpips_weights given; using random LPIPS "
+          "(inversion quality will be poor).")
+    return lpips.init(jax.random.PRNGKey(0), x0, x0)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--dataset_dir", required=True)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--num_trans", type=int, default=8)
+    p.add_argument("--step", type=int, default=10_000)
+    p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--mse", type=float, default=0.0)
+    p.add_argument("--noise_regularize", type=float, default=1e5)
+    p.add_argument("--use_noise", action="store_true")
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--truncation", type=float, default=1.0)
+    p.add_argument("--lpips_weights", type=str, default=None)
+    p.add_argument("--output_dir", type=str,
+                   default="./projection/optimization")
+    args = p.parse_args(argv)
+
+    cfg = ModelConfig(size=args.size, n_trans=args.num_trans)
+    gen_params = load_reference_generator(args.ckpt, cfg)
+    lpips_params = load_lpips(args, cfg)
+
+    pcfg = ProjectorConfig(steps=args.step, lr=args.lr,
+                           mse_weight=args.mse,
+                           noise_regularize=args.noise_regularize,
+                           optimize_noise=args.use_noise,
+                           truncation=args.truncation)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    source = ImageFolderSource(args.dataset_dir)
+    stats = estimate_latent_stats(cfg, gen_params, jax.random.PRNGKey(0),
+                                  truncation=args.truncation)
+
+    all_z, all_p = [], []
+    for start in range(0, len(source), args.batch):
+        idx = list(range(start, min(start + args.batch, len(source))))
+        imgs = np.stack([source.get(i, cfg.size) for i in idx])
+        target = jnp.asarray(imgs.astype(np.float32) / 127.5 - 1.0)
+        res = project(cfg, gen_params, lpips_params, target, pcfg,
+                      key=jax.random.PRNGKey(start), stats=stats)
+        for k, i in enumerate(idx):
+            save_png(os.path.join(args.output_dir, f"origin_{i}.png"),
+                     to_uint8(np.asarray(target))[k])
+            save_png(os.path.join(args.output_dir, f"project_{i}.png"),
+                     to_uint8(res["image"])[k])
+        all_z.append(res["z_plus"])
+        all_p.append(res["p_plus"])
+        print(f"[{idx[-1] + 1}/{len(source)}] final perceptual "
+              f"{res['perceptual_trace'][-1]:.4f}", flush=True)
+
+    np.save(os.path.join(args.output_dir, "latents.npy"),
+            np.concatenate(all_z))
+    np.save(os.path.join(args.output_dir, "param.npy"),
+            np.concatenate(all_p))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""GAN training CLI (the train_spatial_query.py analogue).
+
+Usage:
+  python -m transeditor_tpu.cli.train_gan DATA_DIR --exp_name run1 \
+      --batch 16 --size 256 [--iter 800000] [--resume out/run1/checkpoint]
+
+DATA_DIR: image folder (or LMDB dir with --lmdb).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from transeditor_tpu.config import ModelConfig, TrainConfig
+from transeditor_tpu.data.dataset import ImageFolderSource, make_train_iterator
+from transeditor_tpu.train.loop import train
+
+
+def build_configs(args) -> tuple[ModelConfig, TrainConfig]:
+    cfg = ModelConfig(
+        size=args.size,
+        channel_multiplier=args.channel_multiplier,
+        layer_noise_injection=args.inject_noise,
+        use_spatial_mapping=not args.no_spatial_map,
+        num_region=args.num_region,
+        n_trans=args.num_trans,
+        pixel_norm_axis=("feature" if args.pixel_norm_op_dim == 1
+                         else "token"),
+        no_trans=args.no_trans,
+        dtype=args.dtype,
+    )
+    tcfg = TrainConfig(
+        total_steps=args.iter,
+        batch_size=args.batch,
+        lr=args.lr,
+        r1_gamma=args.r1,
+        d_reg_every=args.d_reg_every,
+        g_reg_every=args.g_reg_every,
+        path_regularize=args.path_regularize,
+        path_batch_shrink=args.path_batch_shrink,
+        spatial_regu=args.spatial_regu,
+        spatial_path_regularize=args.spatial_path_regularize,
+        regu_space=args.regu_space,
+        n_sample=args.n_sample,
+        seed=args.seed,
+    )
+    return cfg, tcfg
+
+
+def add_model_flags(p: argparse.ArgumentParser):
+    """The flag set duplicated across the reference's ten entry points
+    (train_spatial_query.py:395-415 etc.) — defined once here."""
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--channel_multiplier", type=int, default=2)
+    p.add_argument("--num_region", type=int, default=1)
+    p.add_argument("--num_trans", type=int, default=8)
+    p.add_argument("--no_trans", action="store_true")
+    p.add_argument("--no_spatial_map", action="store_true")
+    p.add_argument("--pixel_norm_op_dim", type=int, default=1)
+    p.add_argument("--inject_noise", action="store_true")
+    p.add_argument("--dtype", type=str, default="float32")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("path", type=str)
+    p.add_argument("--exp_name", type=str, default="test")
+    p.add_argument("--iter", type=int, default=800_000)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--n_sample", type=int, default=64)
+    p.add_argument("--r1", type=float, default=10.0)
+    p.add_argument("--lr", type=float, default=0.002)
+    p.add_argument("--d_reg_every", type=int, default=16)
+    p.add_argument("--g_reg_every", type=int, default=4)
+    p.add_argument("--path_regularize", type=float, default=2.0)
+    p.add_argument("--path_batch_shrink", type=int, default=2)
+    p.add_argument("--spatial_regu", action="store_true")
+    p.add_argument("--spatial_path_regularize", type=float, default=2.0)
+    p.add_argument("--regu_space", type=str, default="p+")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out_dir", type=str, default="out")
+    add_model_flags(p)
+    args = p.parse_args(argv)
+
+    cfg, tcfg = build_configs(args)
+    source = ImageFolderSource(args.path)
+    data = make_train_iterator(source, tcfg.batch_size, cfg.size,
+                               seed=tcfg.seed)
+    train(cfg, tcfg, data, out_dir=args.out_dir, exp_name=args.exp_name)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""Editing sweeps: score 150k samples, train boundaries, edit strips.
+
+Reference drivers: ``our_interfaceGAN/edit_all_noinversion_ffhq.py``
+(and the inversion / CelebA-HQ variants): generate ``num_sample``
+(150k) random (Z+, P+) pairs, decode from plus space, score each image
+with an attribute classifier (:100-149), train linear-SVM boundaries in
+the flattened Z+ and P+ spaces (:153-168), then edit 8 samples along
+p+/z+/pz+ directions over 61 steps per per-attribute distance configs,
+re-scoring each edited image (:179-286).
+
+TPU-native: the scoring fan-out runs as one jitted
+sample->map->decode->score program per batch; the edit phase decodes a
+whole interpolation strip per device call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transeditor_tpu.config import ModelConfig
+from transeditor_tpu.edit.boundary import linear_interpolate, train_boundary
+from transeditor_tpu.models import Generator
+from transeditor_tpu.utils.image import make_grid, save_png, to_uint8
+from transeditor_tpu.utils.sampling import sample_zp
+
+
+def collect_scored_latents(
+    cfg: ModelConfig, gen_params, scorer: Callable,
+    n_samples: int = 150_000, batch: int = 64, truncation: float = 1.0,
+    seed: int = 0, progress: Optional[Callable[[int], None]] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (z_plus_flat [N, 16*512], p_plus_flat, scores [N])."""
+    gen = Generator(cfg)
+
+    @jax.jit
+    def batch_fn(key):
+        z, p = sample_zp(key, batch, cfg.n_tokens, cfg.style_dim,
+                         truncation)
+        zp, pp = gen.apply(gen_params, z, p, method="map_codes")
+        img = gen.apply(gen_params, zp, pp, map_z=False,
+                        map_p=False).image
+        return zp, pp, scorer(img.astype(jnp.float32))
+
+    key = jax.random.PRNGKey(seed)
+    zs, ps, scores = [], [], []
+    done = 0
+    i = 0
+    while done < n_samples:
+        zp, pp, s = batch_fn(jax.random.fold_in(key, i))
+        zs.append(np.asarray(zp))
+        ps.append(np.asarray(pp))
+        scores.append(np.asarray(s))
+        done += batch
+        i += 1
+        if progress:
+            progress(done)
+    z = np.concatenate(zs)[:n_samples]
+    p = np.concatenate(ps)[:n_samples]
+    s = np.concatenate(scores)[:n_samples]
+    return (z.reshape(n_samples, -1), p.reshape(n_samples, -1), s)
+
+
+def train_dual_boundaries(z_flat, p_flat, scores, chosen_ratio=0.02,
+                          seed=0) -> Dict[str, np.ndarray]:
+    """Both editing directions (the reference trains Z+ and P+ SVMs,
+    :153-168)."""
+    return {
+        "z": train_boundary(z_flat, scores, chosen_ratio, seed=seed),
+        "p": train_boundary(p_flat, scores, chosen_ratio, seed=seed),
+    }
+
+
+@dataclasses.dataclass
+class EditStrip:
+    images: np.ndarray    # [steps, H, W, 3] float in [-1,1]
+    scores: np.ndarray    # [steps]
+    space: str            # 'pz_plus' | 'p_plus' | 'z_plus'
+
+
+def make_strip_decoder(cfg: ModelConfig, gen_params,
+                       scorer: Optional[Callable] = None):
+    """One jitted call: decode a [steps,16,512]x2 strip + scores."""
+    gen = Generator(cfg)
+
+    @jax.jit
+    def decode(z_strip, p_strip):
+        img = gen.apply(gen_params, z_strip, p_strip, map_z=False,
+                        map_p=False).image.astype(jnp.float32)
+        s = scorer(img) if scorer is not None else jnp.zeros(img.shape[0])
+        return img, s
+
+    return decode
+
+
+def edit_sample(decode, z_plus, p_plus, boundaries, style_distance,
+                content_distance, steps: int = 61) -> Dict[str, EditStrip]:
+    """Edit ONE sample along pz+/p+/z+ (reference :209-270).
+
+    z_plus/p_plus: [16, 512] plus-space codes (sampled or inverted).
+    """
+    t, d = z_plus.shape
+    z_flat = z_plus.reshape(1, -1)
+    p_flat = p_plus.reshape(1, -1)
+
+    z_moved = linear_interpolate(z_flat, boundaries["z"], -style_distance,
+                                 style_distance, steps).reshape(steps, t, d)
+    p_moved = linear_interpolate(p_flat, boundaries["p"], -content_distance,
+                                 content_distance, steps).reshape(steps, t, d)
+    z_fixed = np.broadcast_to(z_plus[None], (steps, t, d))
+    p_fixed = np.broadcast_to(p_plus[None], (steps, t, d))
+
+    out = {}
+    for space, (zz, pp) in {
+        "pz_plus": (z_moved, p_moved),
+        "p_plus": (z_fixed, p_moved),
+        "z_plus": (z_moved, p_fixed),
+    }.items():
+        img, s = decode(jnp.asarray(zz), jnp.asarray(pp))
+        out[space] = EditStrip(np.asarray(img), np.asarray(s), space)
+    return out
+
+
+def save_strips(strips: Dict[str, EditStrip], out_dir: str,
+                sample_idx: int, attribute: str):
+    """PNG per edited frame, predicted score embedded in the filename
+    (the reference's assertion mechanism, :249), plus one strip grid."""
+    for space, strip in strips.items():
+        d = os.path.join(out_dir, space)
+        os.makedirs(d, exist_ok=True)
+        imgs = to_uint8(strip.images)
+        for j in range(imgs.shape[0]):
+            save_png(os.path.join(
+                d, f"origin_{sample_idx}_edit_{j}_{attribute}_"
+                   f"{round(float(strip.scores[j]))}.png"), imgs[j])
+        save_png(os.path.join(d, f"strip_{sample_idx}.png"),
+                 make_grid(strip.images, nrow=imgs.shape[0], pad=0))
+
+
+def run_noinversion_sweep(
+    cfg: ModelConfig, gen_params, scorer, boundaries, out_dir: str,
+    attribute: str, style_distance: float, content_distance: float,
+    n_edit_samples: int = 8, steps: int = 61, seed: int = 0,
+    truncation: float = 1.0,
+):
+    """The per-(seed, distance-config) edit phase (:179-286)."""
+    gen = Generator(cfg)
+
+    @jax.jit
+    def sample_codes(key):
+        z, p = sample_zp(key, n_edit_samples, cfg.n_tokens, cfg.style_dim,
+                         truncation)
+        zp, pp = gen.apply(gen_params, z, p, method="map_codes")
+        img = gen.apply(gen_params, z, p).image
+        return zp, pp, img
+
+    zp, pp, origin = sample_codes(jax.random.PRNGKey(seed))
+    os.makedirs(os.path.join(out_dir, "origin_image"), exist_ok=True)
+    save_png(os.path.join(out_dir, "origin_image", "sample_gen.png"),
+             make_grid(np.asarray(origin, np.float32), nrow=1, pad=0))
+
+    decode = make_strip_decoder(cfg, gen_params, scorer)
+    zp, pp = np.asarray(zp), np.asarray(pp)
+    for i in range(n_edit_samples):
+        strips = edit_sample(decode, zp[i], pp[i], boundaries,
+                             style_distance, content_distance, steps)
+        save_strips(strips, out_dir, i, attribute)
