@@ -1,0 +1,101 @@
+"""Native IO: LMDB writer -> native C++ reader roundtrip + JPEG decode
++ batch loader."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from transeditor_tpu.data.lmdb_writer import write_image_dataset, write_lmdb
+from transeditor_tpu.data.native import (NativeLMDB, NativeLMDBLoader,
+                                         NativeLMDBSource, decode_jpeg)
+
+
+def _jpeg_bytes(img: np.ndarray) -> bytes:
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=95)
+    return buf.getvalue()
+
+
+def test_lmdb_roundtrip_small(tmp_path):
+    items = {f"key-{i:04d}".encode(): f"value-{i}".encode() * (i + 1)
+             for i in range(200)}
+    items[b"length"] = b"200"
+    path = str(tmp_path / "db")
+    write_lmdb(path, items)
+    db = NativeLMDB(path)
+    assert db.entries == 201
+    for k, v in items.items():
+        assert db.get(k) == v, k
+    assert db.get(b"missing") is None
+    db.close()
+
+
+def test_lmdb_overflow_values(tmp_path):
+    rng = np.random.RandomState(0)
+    items = {f"big-{i}".encode(): rng.bytes(10_000 + i * 5000)
+             for i in range(5)}
+    path = str(tmp_path / "db")
+    write_lmdb(path, items)
+    db = NativeLMDB(path)
+    for k, v in items.items():
+        assert db.get(k) == v
+    db.close()
+
+
+def test_lmdb_multilevel_tree(tmp_path):
+    # enough entries to force >1 leaf page and a branch level
+    items = {f"{i:06d}".encode(): (b"x" * 100) + str(i).encode()
+             for i in range(500)}
+    path = str(tmp_path / "db")
+    write_lmdb(path, items)
+    db = NativeLMDB(path)
+    for i in (0, 1, 137, 255, 499):
+        k = f"{i:06d}".encode()
+        assert db.get(k) == items[k]
+    db.close()
+
+
+def test_jpeg_decode():
+    # smooth gradient (JPEG-friendly) so decode error stays small
+    y, x = np.mgrid[0:32, 0:32]
+    img = np.stack([y * 8, x * 8, (y + x) * 4], -1).astype(np.uint8)
+    out = decode_jpeg(_jpeg_bytes(img), 32, 32)
+    assert out.shape == (32, 32, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 6
+
+
+def test_image_dataset_source_and_loader(tmp_path):
+    rng = np.random.RandomState(2)
+    imgs = [np.full((16, 16, 3), 10 * i, np.uint8) for i in range(10)]
+    path = str(tmp_path / "imgdb")
+    n = write_image_dataset(path, [_jpeg_bytes(im) for im in imgs], 16)
+    assert n == 10
+
+    src = NativeLMDBSource(path)
+    assert len(src) == 10
+    got = src.get(3, 16)
+    assert np.abs(got.astype(int) - 30).max() < 6
+
+    loader = NativeLMDBLoader(path, batch=4, resolution=16, seed=0,
+                              shuffle=True, flip=True)
+    batch = next(loader)
+    assert batch.shape == (4, 16, 16, 3)
+    assert batch.min() >= -1.001 and batch.max() <= 1.001
+    # values should be near multiples of 10/127.5 - 1
+    loader.close()
+
+
+def test_loader_host_sharding(tmp_path):
+    imgs = [np.full((8, 8, 3), 20 * i, np.uint8) for i in range(10)]
+    path = str(tmp_path / "sharddb")
+    write_image_dataset(path, [_jpeg_bytes(im) for im in imgs], 8)
+    loader = NativeLMDBLoader(path, batch=5, resolution=8, seed=0,
+                              shuffle=False, flip=False, host_index=1,
+                              host_count=2)
+    b = next(loader)
+    vals = np.round((b[:, 0, 0, 0] + 1) * 127.5 / 20).astype(int)
+    assert set(vals.tolist()) <= {1, 3, 5, 7, 9}
+    loader.close()
