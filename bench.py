@@ -26,8 +26,8 @@ from transeditor_tpu.config import ModelConfig
 from transeditor_tpu.models import Generator
 from transeditor_tpu.utils.sampling import sample_zp
 
-BATCH = 64
-ITERS_PER_CALL = 16
+BATCH = 256
+ITERS_PER_CALL = 8
 TARGET = 5000.0
 
 

@@ -1,0 +1,124 @@
+"""Semantic editing CLI (the edit_all_{noinversion,inversion}_* analogue).
+
+Two phases (reference our_interfaceGAN/edit_all_noinversion_ffhq.py):
+  1. boundary: score --num_sample random decodes with an attribute
+     classifier, train Z+/P+ SVM boundaries (cached as .npy);
+  2. edit: move samples (or --encoded_z/--encoded_p real-image
+     inversions) along the boundaries over per-attribute distances and
+     save re-scored strips.
+
+Usage:
+  python -m transeditor_tpu.cli.edit --ckpt 790000.pt --attribute age \
+      --classifier_ckpt age_sd.pth --num_sample 150000 \
+      --style_distance 3 --content_distance 7 --out_dir edits/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from transeditor_tpu.config import ModelConfig
+from transeditor_tpu.edit.classifiers import (DexVGG, PoseClassifier,
+                                              make_scorer, port_dex_vgg)
+from transeditor_tpu.edit.sweep import (collect_scored_latents,
+                                        make_strip_decoder, edit_sample,
+                                        run_noinversion_sweep, save_strips,
+                                        train_dual_boundaries)
+from transeditor_tpu.io.checkpoint import load_reference_generator
+
+
+def load_scorer(args):
+    import jax
+    import jax.numpy as jnp
+    if args.classifier_ckpt:
+        from transeditor_tpu.io.torch_port import load_torch_checkpoint
+        sd = load_torch_checkpoint(args.classifier_ckpt)
+        if args.attribute in ("age", "gender"):
+            params = port_dex_vgg(sd)
+        else:
+            raise NotImplementedError(
+                "pose/CelebA classifier port CLI wiring: round 2")
+        return make_scorer(args.attribute, params)
+    print("WARNING: no --classifier_ckpt; using a randomly initialised "
+          "classifier (boundaries will be meaningless).")
+    net = DexVGG(classes=101 if args.attribute == "age" else 2)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 224, 224, 3)))
+    return make_scorer(args.attribute, params)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--attribute", type=str, default="age")
+    p.add_argument("--classifier_ckpt", type=str, default=None)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--num_trans", type=int, default=8)
+    p.add_argument("--num_sample", type=int, default=150_000)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--ratio", type=float, default=0.02)
+    p.add_argument("--steps", type=int, default=61)
+    p.add_argument("--style_distance", type=float, default=3.0)
+    p.add_argument("--content_distance", type=float, default=7.0)
+    p.add_argument("--n_edit_samples", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--truncation", type=float, default=1.0)
+    p.add_argument("--out_dir", type=str, default="./edits")
+    p.add_argument("--retrain_boundary", action="store_true")
+    p.add_argument("--encoded_z", type=str, default=None,
+                   help="encoder-inverted z+ npy (inversion variant)")
+    p.add_argument("--encoded_p", type=str, default=None)
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    args = p.parse_args(argv)
+
+    cfg = ModelConfig(size=args.size, n_trans=args.num_trans,
+                      dtype=args.dtype)
+    gen_params = load_reference_generator(args.ckpt, cfg)
+    scorer = load_scorer(args)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    zb_file = os.path.join(args.out_dir,
+                           f"boundary_{args.attribute}_z.npy")
+    pb_file = os.path.join(args.out_dir,
+                           f"boundary_{args.attribute}_p.npy")
+    if os.path.exists(zb_file) and not args.retrain_boundary:
+        boundaries = {"z": np.load(zb_file), "p": np.load(pb_file)}
+    else:
+        z_flat, p_flat, scores = collect_scored_latents(
+            cfg, gen_params, scorer, n_samples=args.num_sample,
+            batch=args.batch, truncation=args.truncation, seed=args.seed,
+            progress=lambda n: print(f"scored {n}/{args.num_sample}",
+                                     flush=True) if n % 6400 == 0 else None)
+        boundaries = train_dual_boundaries(z_flat, p_flat, scores,
+                                           chosen_ratio=args.ratio,
+                                           seed=args.seed)
+        np.save(zb_file, boundaries["z"])
+        np.save(pb_file, boundaries["p"])
+
+    edit_dir = os.path.join(
+        args.out_dir, args.attribute,
+        f"{args.style_distance}_{args.content_distance}_{args.seed}")
+    if args.encoded_z:
+        # inversion variant: edit real-image latents
+        z = np.load(args.encoded_z)
+        p_codes = np.load(args.encoded_p)
+        decode = make_strip_decoder(cfg, gen_params, scorer)
+        for i in range(min(len(z), args.n_edit_samples)):
+            strips = edit_sample(decode, z[i], p_codes[i], boundaries,
+                                 args.style_distance,
+                                 args.content_distance, args.steps)
+            save_strips(strips, edit_dir, i, args.attribute)
+    else:
+        run_noinversion_sweep(
+            cfg, gen_params, scorer, boundaries, edit_dir,
+            args.attribute, args.style_distance, args.content_distance,
+            n_edit_samples=args.n_edit_samples, steps=args.steps,
+            seed=args.seed, truncation=args.truncation)
+    print("edit sweep done")
+
+
+if __name__ == "__main__":
+    main()

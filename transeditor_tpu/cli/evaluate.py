@@ -1,0 +1,107 @@
+"""Checkpoint evaluation CLI (the metrics/evaluate_query.py analogue).
+
+Usage:
+  python -m transeditor_tpu.cli.evaluate --ckpt out/run/checkpoint/790000.pt \
+      --fid --inception_stats inception_ffhq.pkl \
+      --inception_weights pt_inception.pth \
+      [--lpips --lpips_weights lpips_alex.pt] [--ppl] [--dataset ffhq]
+
+With --ckpt_dir, evaluates every checkpoint and reports the best FID
+(reference :383-391).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+
+from transeditor_tpu.config import ModelConfig
+from transeditor_tpu.io.checkpoint import load_reference_generator
+from transeditor_tpu.metrics.evaluator import (evaluate_checkpoint,
+                                               load_real_stats)
+from transeditor_tpu.metrics.inception import (InceptionV3Features,
+                                               port_fid_inception_weights)
+from transeditor_tpu.zoo.lpips import LPIPS, load_lpips_params
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--ckpt_dir", type=str, default=None)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--num_trans", type=int, default=8)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--dataset", type=str, default="ffhq",
+                   choices=["ffhq", "celeba_hq"])
+    p.add_argument("--fid", action="store_true")
+    p.add_argument("--lpips", action="store_true")
+    p.add_argument("--ppl", action="store_true")
+    p.add_argument("--fid_samples", type=int, default=None)
+    p.add_argument("--lpips_batches", type=int, default=1000)
+    p.add_argument("--ppl_samples", type=int, default=10_000)
+    p.add_argument("--inception_stats", type=str, default=None)
+    p.add_argument("--inception_weights", type=str, default=None)
+    p.add_argument("--lpips_weights", type=str, default=None)
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    args = p.parse_args(argv)
+
+    cfg = ModelConfig(size=args.size, n_trans=args.num_trans,
+                      dtype=args.dtype)
+    # reference protocol: 69k samples FFHQ / 29k CelebA-HQ (:55-60)
+    fid_samples = args.fid_samples or (69_000 if args.dataset == "ffhq"
+                                       else 29_000)
+
+    inception_params = real_stats = None
+    if args.fid:
+        assert args.inception_stats, "--fid needs --inception_stats"
+        real_stats = load_real_stats(args.inception_stats)
+        inception = InceptionV3Features()
+        if args.inception_weights:
+            from transeditor_tpu.io.torch_port import load_torch_checkpoint
+            inception_params = port_fid_inception_weights(
+                load_torch_checkpoint(args.inception_weights))
+        else:
+            print("WARNING: random InceptionV3 (pass --inception_weights)")
+            inception_params = inception.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+    lpips_params = None
+    if args.lpips or args.ppl:
+        if args.lpips_weights:
+            from transeditor_tpu.io.torch_port import load_torch_checkpoint
+            lpips_params = load_lpips_params(
+                load_torch_checkpoint(args.lpips_weights))
+        else:
+            print("WARNING: random LPIPS weights (pass --lpips_weights)")
+            net = LPIPS(net="vgg")
+            x0 = jnp.zeros((1, cfg.size, cfg.size, 3))
+            lpips_params = net.init(jax.random.PRNGKey(1), x0, x0)
+
+    ckpts = [args.ckpt] if args.ckpt else sorted(
+        glob.glob(os.path.join(args.ckpt_dir, "*.pt")))
+    best_fid, best_ckpt = float("inf"), None
+    for ck in ckpts:
+        gen_params = load_reference_generator(ck, cfg)
+        report = evaluate_checkpoint(
+            cfg, gen_params,
+            inception_params=inception_params, real_stats=real_stats,
+            lpips_params=lpips_params, do_fid=args.fid,
+            do_lpips=args.lpips, do_ppl=args.ppl,
+            fid_samples=fid_samples, lpips_batches=args.lpips_batches,
+            ppl_samples=args.ppl_samples, batch=args.batch)
+        out = {"ckpt": ck, "fid": report.fid, "lpips": report.lpips,
+               "ppl": report.ppl}
+        print(json.dumps(out), flush=True)
+        if report.fid is not None and report.fid < best_fid:
+            best_fid, best_ckpt = report.fid, ck
+    if args.fid and len(ckpts) > 1:
+        print(json.dumps({"best_fid": best_fid, "best_ckpt": best_ckpt}))
+
+
+if __name__ == "__main__":
+    main()

@@ -71,7 +71,9 @@ VGG19_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
              512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
 # relu indices (0-based position among conv layers) to tap for LPIPS:
 VGG16_TAPS = (1, 3, 6, 9, 12)    # relu1_2, 2_2, 3_3, 4_3, 5_3
-VGG19_TAPS = (0, 2, 5, 10, 15)   # VGGLoss slices (model file :28-37)
+# VGGLoss slice boundaries (model_spatial_query.py:28-37): relu after
+# conv1_1, conv2_1, conv3_1, conv4_1, conv5_1
+VGG19_TAPS = (0, 2, 4, 8, 12)
 
 
 class VGGFeatures(nn.Module):
@@ -102,6 +104,71 @@ class VGGFeatures(nn.Module):
                 out.append(x)
             conv_idx += 1
         return out
+
+
+class VGG16Fc7(nn.Module):
+    """torchvision VGG16 through classifier fc7 (4096-d ReLU features)
+    — the PRDC feature space (reference metrics/calc_prdc.py:99-122)."""
+
+    @nn.compact
+    def __call__(self, x) -> jax.Array:
+        conv_idx = 0
+        for item in VGG16_CFG:
+            if item == "M":
+                x = max_pool(x, 2, 2, 0)
+                continue
+            w = self.param(f"conv{conv_idx}_w",
+                           nn.initializers.normal(0.1),
+                           (3, 3, x.shape[-1], item))
+            b = self.param(f"conv{conv_idx}_b", nn.initializers.zeros,
+                           (item,))
+            x = jax.nn.relu(conv2d(x, w, b, 1, 1))
+            conv_idx += 1
+        # adaptive avg pool to 7x7 (torchvision) — input 224 gives 7x7
+        if x.shape[1] != 7:
+            x = jax.image.resize(x, (x.shape[0], 7, 7, x.shape[3]),
+                                 "linear")
+        b0 = x.shape[0]
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(b0, -1)  # channel-major
+        fc6_w = self.param("fc6_w", nn.initializers.normal(0.01),
+                           (x.shape[-1], 4096))
+        fc6_b = self.param("fc6_b", nn.initializers.zeros, (4096,))
+        x = jax.nn.relu(x @ fc6_w + fc6_b)
+        fc7_w = self.param("fc7_w", nn.initializers.normal(0.01),
+                           (4096, 4096))
+        fc7_b = self.param("fc7_b", nn.initializers.zeros, (4096,))
+        return jax.nn.relu(x @ fc7_w + fc7_b)
+
+
+def port_vgg16_fc7(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """torchvision vgg16 state dict -> VGG16Fc7 params."""
+    params = port_torch_sequential(
+        sd, "features.", [f"conv{i}" for i in range(13)])
+    params["fc6_w"] = np.ascontiguousarray(sd["classifier.0.weight"].T)
+    params["fc6_b"] = sd["classifier.0.bias"]
+    params["fc7_w"] = np.ascontiguousarray(sd["classifier.3.weight"].T)
+    params["fc7_b"] = sd["classifier.3.bias"]
+    return {"params": params}
+
+
+def vgg19_perceptual_loss(feats_apply, params, x, y, weights=None):
+    """The reference's VGGLoss (model_spatial_query.py:52-72): weighted
+    L1 over VGG19 relu taps of ImageNet-normalised inputs."""
+    weights = weights or [1 / 32, 1 / 16, 1 / 8, 1 / 4, 1.0]
+    mean = jnp.asarray([0.485, 0.456, 0.406])
+    std = jnp.asarray([0.229, 0.224, 0.225])
+
+    def norm(t):
+        t = t * 0.5 + 0.5              # [-1,1] -> [0,1]
+        t = t * 0.5 + 0.5              # the reference double-shifts (:68)
+        return (t - mean) / jnp.sqrt(std + 1e-5)
+
+    fx = feats_apply(params, norm(x))
+    fy = feats_apply(params, norm(y))
+    loss = 0.0
+    for w, a, b in zip(weights, fx, fy):
+        loss = loss + w * jnp.mean(jnp.abs(a - jax.lax.stop_gradient(b)))
+    return loss
 
 
 def port_torch_sequential(sd: Dict[str, np.ndarray], layer_prefix: str,
