@@ -114,3 +114,37 @@ def test_second_order_grad():
     x = jnp.ones((1, 4, 4, 1)) * 0.5
     g2 = jax.grad(lambda x: jnp.sum(jax.grad(f)(x) ** 2))(x)
     assert np.isfinite(np.asarray(g2)).all()
+
+
+@pytest.mark.parametrize("up,down,pad,gain", [
+    (1, 1, (2, 1), 1.0),
+    (2, 1, (2, 1), 2.0),     # upsample config (gain 2 per axis)
+    (1, 2, (1, 1), 1.0),     # downsample config
+    (1, 1, (1, 1), 1.0),
+    (1, 1, (-1, 2), 1.0),
+])
+def test_separable_matches_conv_path(up, down, pad, gain):
+    """The 1-D-taps fast path must equal the 2-D depthwise-conv path."""
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 10, 10, 3).astype(np.float32)
+    k1 = np.asarray([1.0, 3.0, 3.0, 1.0])
+    taps = jnp.asarray(k1 / k1.sum() * gain, jnp.float32)
+    k2d = jnp.asarray(np.outer(k1, k1) / k1.sum() ** 2 * gain ** 2,
+                      jnp.float32)
+    fast = np.asarray(upfirdn2d(jnp.asarray(x), taps, up=up, down=down,
+                                pad=pad))
+    ref = np.asarray(upfirdn2d(jnp.asarray(x), k2d, up=up, down=down,
+                               pad=pad))
+    assert fast.shape == ref.shape
+    np.testing.assert_allclose(fast, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_separable_second_order_grad():
+    taps = jnp.asarray([0.25, 0.5, 0.25])
+
+    def f(x):
+        return jnp.sum(upfirdn2d(x, taps, up=2, down=1, pad=(1, 1)) ** 3)
+
+    x = jnp.ones((1, 4, 4, 1)) * 0.5
+    g2 = jax.grad(lambda x: jnp.sum(jax.grad(f)(x) ** 2))(x)
+    assert np.isfinite(np.asarray(g2)).all()

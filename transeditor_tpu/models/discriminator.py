@@ -38,6 +38,8 @@ def minibatch_stddev(x: jax.Array, group_size: int = 4,
     """Append the cross-sample stddev map (model_spatial_query.py:844-852)."""
     b, h, w, c = x.shape
     g = min(b, group_size)
+    while b % g:          # largest divisor of b not above group_size
+        g -= 1
     y = x.reshape(g, b // g, h, w, num_features, c // num_features)
     y = y.astype(jnp.float32)
     var = jnp.var(y, axis=0)          # biased, matches torch var(0, unbiased=False)
