@@ -116,6 +116,48 @@ class GradualStyleEncoder(nn.Module):
         return z_out, p_out
 
 
+class BackboneEncoderIntoW(nn.Module):
+    """Secondary encoder: trunk -> global avg pool -> EqualLinear -> one
+    512-d w vector (psp_encoders_new.py:143-173)."""
+
+    num_layers: int = 50
+    mode: str = "ir_se"
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        _, x = IRSEBackbone(self.num_layers, self.mode, taps=(),
+                            train=self.train, name="trunk")(x)
+        x = jnp.mean(x, axis=(1, 2))
+        return EqualLinear(512, dtype=x.dtype, name="linear")(x)
+
+
+class BackboneEncoderIntoWPlus(nn.Module):
+    """Secondary encoder: trunk -> BN -> 7x7 pool -> Linear ->
+    EqualLinear(512*18) -> [B, 18, 512] (psp_encoders_new.py:176-209)."""
+
+    num_layers: int = 50
+    mode: str = "ir_se"
+    n_styles: int = 18
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        from transeditor_tpu.models.irse import BatchNorm
+        _, x = IRSEBackbone(self.num_layers, self.mode, taps=(),
+                            train=self.train, name="trunk")(x)
+        x = BatchNorm(not self.train, name="out_bn")(x)
+        if x.shape[1] != 7:
+            x = jax.image.resize(x, (x.shape[0], 7, 7, x.shape[-1]),
+                                 "linear")
+        b = x.shape[0]
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, -1)
+        x = nn.Dense(512, dtype=x.dtype, name="out_linear")(x)
+        x = EqualLinear(512 * self.n_styles, dtype=x.dtype,
+                        name="linear")(x)
+        return x.reshape(b, self.n_styles, 512)
+
+
 @dataclasses.dataclass
 class PSPModel:
     """Encoder + frozen decoder bundle (the pSp wrapper,
