@@ -25,7 +25,8 @@ from flax import linen as nn
 
 from transeditor_tpu.ops.act import fused_leaky_relu
 from transeditor_tpu.ops.precision import conv_precision
-from transeditor_tpu.ops.modconv import modulated_conv2d
+from transeditor_tpu.ops.modconv import (modulated_conv2d,
+                                           modulated_conv2d_up_fused)
 from transeditor_tpu.ops.resample import blur, upsample_2d
 
 
@@ -162,7 +163,12 @@ class EqualConv2d(nn.Module):
 
 
 class ModulatedConv2d(nn.Module):
-    """Style-modulated conv (see ops/modconv.py for the TPU form)."""
+    """Style-modulated conv (see ops/modconv.py for the TPU form).
+
+    ``fused_bias``/``fused_act`` fold the follow-up bias + LeakyReLU
+    into the conv's epilogue — on the upsample path this becomes one
+    Pallas pass with the FIR blur and demodulation.
+    """
 
     features: int
     kernel_size: int
@@ -174,18 +180,30 @@ class ModulatedConv2d(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, style: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, style: jax.Array,
+                 fused_bias: Optional[jax.Array] = None,
+                 fused_act: bool = False) -> jax.Array:
         in_ch = x.shape[-1]
         k = self.kernel_size
         weight = self.param("weight", nn.initializers.normal(stddev=1.0),
                             (k, k, in_ch, self.features))
         s = EqualLinear(in_ch, bias_init=1.0, dtype=self.dtype,
                         name="modulation")(style)
-        return modulated_conv2d(
+        if self.upsample:
+            return modulated_conv2d_up_fused(
+                x.astype(self.dtype), weight, s, bias=fused_bias,
+                activate=fused_act, demodulate=self.demodulate,
+                blur_kernel=self.blur_kernel)
+        out = modulated_conv2d(
             x.astype(self.dtype), weight, s,
             demodulate=self.demodulate,
-            upsample=self.upsample, downsample=self.downsample,
+            upsample=False, downsample=self.downsample,
             blur_kernel=self.blur_kernel)
+        if fused_act:
+            out = fused_leaky_relu(out, fused_bias)
+        elif fused_bias is not None:
+            out = out + fused_bias.astype(out.dtype)
+        return out
 
 
 class StyledConv(nn.Module):
@@ -205,19 +223,22 @@ class StyledConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, style, noise=None):
-        out = ModulatedConv2d(
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        conv = ModulatedConv2d(
             self.features, self.kernel_size, self.style_dim,
             demodulate=self.demodulate, upsample=self.upsample,
-            blur_kernel=self.blur_kernel, dtype=self.dtype,
-            name="conv")(x, style)
-        if self.noise_injection:
-            nw = self.param("noise_weight", nn.initializers.zeros, ())
-            if noise is None:
-                key = self.make_rng("noise")
-                b, h, w, _ = out.shape
-                noise = jax.random.normal(key, (b, h, w, 1), out.dtype)
-            out = out + nw.astype(out.dtype) * noise.astype(out.dtype)
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            blur_kernel=self.blur_kernel, dtype=self.dtype, name="conv")
+        if not self.noise_injection:
+            # bias + lrelu fused into the conv epilogue (one Pallas pass
+            # with the blur on the TPU upsample path)
+            return conv(x, style, fused_bias=bias, fused_act=True)
+        out = conv(x, style)
+        nw = self.param("noise_weight", nn.initializers.zeros, ())
+        if noise is None:
+            key = self.make_rng("noise")
+            b, h, w, _ = out.shape
+            noise = jax.random.normal(key, (b, h, w, 1), out.dtype)
+        out = out + nw.astype(out.dtype) * noise.astype(out.dtype)
         return fused_leaky_relu(out, bias)
 
 

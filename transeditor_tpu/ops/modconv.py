@@ -24,10 +24,11 @@ All images are NHWC; weights are HWIO ([kh, kw, in, out]).
 from __future__ import annotations
 
 import math
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from transeditor_tpu.ops.precision import conv_precision
@@ -54,6 +55,63 @@ def _conv(x, w, *, stride=1, padding=0, transpose=False):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=conv_precision(x.dtype),
     )
+
+
+def modulated_conv2d_up_fused(
+    x: jax.Array,
+    weight: jax.Array,
+    style: jax.Array,
+    bias: Optional[jax.Array] = None,
+    activate: bool = False,
+    demodulate: bool = True,
+    blur_kernel: Sequence[int] = (1, 3, 3, 1),
+    eps: float = 1e-8,
+) -> jax.Array:
+    """Upsampling modulated conv with the post-conv chain
+    (blur -> demod -> bias -> leaky) fused into ONE Pallas pass when the
+    layout allows (ops/pallas_blur.py); exact fallback otherwise.
+
+    demod commutes with the per-channel FIR, so demod-after-blur here
+    equals the reference's demod-before-blur ordering exactly.
+    """
+    from transeditor_tpu.ops import pallas_blur
+    from transeditor_tpu.ops.act import fused_leaky_relu
+
+    kh, kw, in_ch, out_ch = weight.shape
+    scale = 1.0 / math.sqrt(in_ch * kh * kw)
+    dtype = x.dtype
+    style32 = style.astype(jnp.float32)
+    w32 = weight.astype(jnp.float32)
+
+    demod = None
+    if demodulate:
+        wsq = jnp.sum(w32 * w32, axis=(0, 1))
+        demod = lax.rsqrt((scale * scale) * ((style32 * style32) @ wsq)
+                          + eps).astype(dtype)
+
+    w = (w32 * scale).astype(dtype)
+    xs = x * style32.astype(dtype)[:, None, None, :]
+    out = _conv(xs, w, stride=2, transpose=True)
+
+    k = len(blur_kernel)
+    p = (k - 2) - (kh - 1)
+    pad = ((p + 1) // 2 + 1, p // 2 + 1)
+
+    if (k == 4 and pallas_blur.platform_ok()
+            and pallas_blur.supports(out.shape, pad)):
+        k1 = np.asarray(blur_kernel, np.float64)
+        taps = tuple((k1 / k1.sum() * 2.0).tolist())   # per-axis up gain
+        return pallas_blur.fused_blur4(out, taps, pad, scale=demod,
+                                       bias=bias, act=activate)
+
+    # fallback: the unfused exact chain
+    if demod is not None:
+        out = out * demod[:, None, None, :]
+    out = blur(out, blur_kernel, pad=pad, upsample_factor=2)
+    if bias is not None or activate:
+        out = fused_leaky_relu(out, bias) if activate else \
+            out + bias.astype(out.dtype)
+    return out
 
 
 def modulated_conv2d(

@@ -1,0 +1,142 @@
+"""Pallas TPU kernel: fused separable FIR blur + conv epilogue.
+
+Motivation (same-process A/B on v5e, batch 256, 256px generator):
+the post-upsample FIR blur + demodulation + bias + leaky-relu chain
+costs ~20% of sampling time when expressed as a depthwise conv plus
+elementwise passes (1515 img/s vs a 1906 img/s no-blur ceiling).  This
+kernel performs, in ONE pass over VMEM-resident tiles:
+
+    y = leaky_relu( FIR4x4(x) * demod[b,c] + bias[c] ) * sqrt(2)
+
+where FIR4x4 is the separable 4-tap blur (true convolution, 'valid'
+over a pre-padded input).  The demod scale commutes with the
+per-channel spatial FIR, so folding it here is exact.
+
+Layout contract: NHWC, C % 128 == 0, the OUTPUT height a multiple of a
+row tile (powers of two up to 256 in the synthesis net).  Row halo (3
+rows) is fetched by manual async DMA from HBM; the width padding is
+part of the pre-pad.  Falls back to the conv path when the contract
+doesn't hold (see ops/modconv.py call site).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SQRT2 = math.sqrt(2.0)
+
+
+def _kernel(x_hbm, scale_ref, bias_ref, out_ref, scratch, sem,
+            *, taps, tr, wp, act, has_scale, has_bias):
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+    c = pl.program_id(2)
+
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(r * tr, tr + 3), :, pl.ds(c * 128, 128)],
+        scratch, sem)
+    dma.start()
+    dma.wait()
+
+    block = scratch[:].astype(jnp.float32)      # [tr+3, wp, 128]
+    # row pass (static shifted adds)
+    rows = (taps[0] * block[0:tr] + taps[1] * block[1:tr + 1]
+            + taps[2] * block[2:tr + 2] + taps[3] * block[3:tr + 3])
+    # col pass
+    wo = wp - 3
+    y = (taps[0] * rows[:, 0:wo] + taps[1] * rows[:, 1:wo + 1]
+         + taps[2] * rows[:, 2:wo + 2] + taps[3] * rows[:, 3:wo + 3])
+
+    if has_scale:
+        y = y * scale_ref[0, 0, :].astype(jnp.float32)[None, None, :]
+    if has_bias:
+        y = y + bias_ref[0, :].astype(jnp.float32)[None, None, :]
+    if act:
+        y = jnp.where(y >= 0, y, 0.2 * y) * _SQRT2
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+@functools.lru_cache(maxsize=1)
+def platform_ok() -> bool:
+    """Use the Mosaic kernel only on TPU-family backends (overridable
+    with TEIO_NO_PALLAS=1)."""
+    import os
+    if os.environ.get("TEIO_NO_PALLAS"):
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu",)
+    except Exception:
+        return False
+
+
+def supports(x_shape, pad) -> bool:
+    """Layout contract check for the fused kernel."""
+    _, h, w, cch = x_shape
+    hp = h + pad[0] + pad[1]
+    ho = hp - 3
+    return (cch % 128 == 0 and ho >= 8 and (ho & (ho - 1)) == 0
+            and ho == (w + pad[0] + pad[1] - 3))
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "pad", "act",
+                                             "interpret"))
+def fused_blur4(x: jax.Array, taps: tuple, pad: tuple = (1, 1),
+                scale: Optional[jax.Array] = None,
+                bias: Optional[jax.Array] = None,
+                act: bool = False, interpret: bool = False) -> jax.Array:
+    """Fused FIR4 blur + optional demod scale [B,C] + bias [C] + lrelu.
+
+    taps: 4 static per-axis filter taps (already normalised/gained).
+    pad: symmetric spatial pre-pad (p0, p1) as in upfirdn2d.
+    """
+    assert len(taps) == 4
+    b, h, w, cch = x.shape
+    p0, p1 = pad
+    xp = jnp.pad(x, ((0, 0), (p0, p1), (p0, p1), (0, 0)))
+    hp, wp = h + p0 + p1, w + p0 + p1
+    ho, wo = hp - 3, wp - 3
+    tr = min(64, ho)
+    assert ho % tr == 0 and cch % 128 == 0
+
+    # true convolution == correlate with flipped taps
+    tf = tuple(float(t) for t in taps[::-1])
+
+    has_scale = scale is not None
+    has_bias = bias is not None
+    scale_in = (scale if has_scale
+                else jnp.zeros((b, cch), x.dtype)).astype(x.dtype)
+    bias_in = (bias if has_bias
+               else jnp.zeros((cch,), x.dtype)).astype(x.dtype)
+
+    grid = (b, ho // tr, cch // 128)
+    kernel = functools.partial(_kernel, taps=tf, tr=tr, wp=wp, act=act,
+                               has_scale=has_scale, has_bias=has_bias)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),             # x (manual DMA)
+            pl.BlockSpec((1, 1, 128), lambda b_, r_, c_: (b_, 0, c_),
+                         memory_space=pltpu.VMEM),          # scale
+            pl.BlockSpec((1, 128), lambda b_, r_, c_: (0, c_),
+                         memory_space=pltpu.VMEM),          # bias
+        ],
+        out_specs=pl.BlockSpec((1, tr, wo, 128),
+                               lambda b_, r_, c_: (b_, r_, 0, c_),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, ho, wo, cch), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tr + 3, wp, 128), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, scale_in.reshape(b, 1, cch), bias_in.reshape(1, cch))
