@@ -39,10 +39,21 @@ def load_real_stats(pkl_path: str):
     return np.asarray(mean), np.asarray(cov)
 
 
+def _shard_batch_constraint(x, mesh):
+    """Shard a generated batch over the mesh 'data' axis (the
+    evaluation-throughput analogue of the reference's nn.DataParallel
+    wrap) — XLA splits the whole sample->feature program across chips."""
+    if mesh is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P("data")))
+
+
 def evaluate_fid(cfg: ModelConfig, gen_params, inception_params,
                  real_mean, real_cov, n_samples: int = 69_000,
                  batch: int = 64, truncation: float = 1.0,
-                 seed: int = 0) -> float:
+                 seed: int = 0, mesh=None) -> float:
     gen = Generator(cfg)
     inception = InceptionV3Features()
 
@@ -53,6 +64,8 @@ def evaluate_fid(cfg: ModelConfig, gen_params, inception_params,
                           truncation)
         p = sample_tokens(kp, batch, cfg.n_tokens, cfg.param_dim,
                           truncation)
+        z = _shard_batch_constraint(z, mesh)
+        p = _shard_batch_constraint(p, mesh)
         img = gen.apply(gen_params, z, p).image.astype(jnp.float32)
         return inception.apply(inception_params, img)
 

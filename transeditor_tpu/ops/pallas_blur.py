@@ -12,11 +12,15 @@ where FIR4x4 is the separable 4-tap blur (true convolution, 'valid'
 over a pre-padded input).  The demod scale commutes with the
 per-channel spatial FIR, so folding it here is exact.
 
-Layout contract: NHWC, C % 128 == 0, the OUTPUT height a multiple of a
-row tile (powers of two up to 256 in the synthesis net).  Row halo (3
-rows) is fetched by manual async DMA from HBM; the width padding is
-part of the pre-pad.  Falls back to the conv path when the contract
-doesn't hold (see ops/modconv.py call site).
+Implementation notes:
+  * rows are tiled; the 3-row halo comes from a SECOND BlockSpec view
+    of the same input shifted one row-tile down (manual inter-memory
+    DMA from a pl.ANY ref hard-crashes this TPU worker, so the kernel
+    sticks to pipelined VMEM blocks);
+  * the input is pre-padded so the shifted view never leaves bounds;
+  * layout contract: NHWC, C % 128 == 0, square output with
+    power-of-two height (every synthesis level qualifies).  Fallback to
+    the conv path otherwise (see ops/modconv.py call site).
 """
 
 from __future__ import annotations
@@ -35,33 +39,27 @@ from jax.experimental.pallas import tpu as pltpu
 _SQRT2 = math.sqrt(2.0)
 
 
-def _kernel(x_hbm, scale_ref, bias_ref, out_ref, scratch, sem,
+def _kernel(xa_ref, xb_ref, scale_ref, bias_ref, out_ref,
             *, taps, tr, wp, act, has_scale, has_bias):
-    b = pl.program_id(0)
-    r = pl.program_id(1)
-    c = pl.program_id(2)
-
-    dma = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(r * tr, tr + 3), :, pl.ds(c * 128, 128)],
-        scratch, sem)
-    dma.start()
-    dma.wait()
-
-    block = scratch[:].astype(jnp.float32)      # [tr+3, wp, 128]
-    # row pass (static shifted adds)
+    # rows r*tr .. r*tr+tr+3 of the padded input: the tr-row main block
+    # plus the first 3 rows of the 4-row halo view
+    block = jnp.concatenate([xa_ref[0], xb_ref[0][:3]], axis=0)
+    # compute in the input dtype (bf16 in the serving path): the 4-tap
+    # weighted sums lose <2^-8 relative — below the pipeline's own
+    # bf16 noise — and halve VMEM temporaries
     rows = (taps[0] * block[0:tr] + taps[1] * block[1:tr + 1]
             + taps[2] * block[2:tr + 2] + taps[3] * block[3:tr + 3])
-    # col pass
     wo = wp - 3
     y = (taps[0] * rows[:, 0:wo] + taps[1] * rows[:, 1:wo + 1]
          + taps[2] * rows[:, 2:wo + 2] + taps[3] * rows[:, 3:wo + 3])
 
     if has_scale:
-        y = y * scale_ref[0, 0, :].astype(jnp.float32)[None, None, :]
+        y = y * scale_ref[0, 0, :][None, None, :]
     if has_bias:
-        y = y + bias_ref[0, :].astype(jnp.float32)[None, None, :]
+        y = y + bias_ref[0, :][None, None, :]
     if act:
-        y = jnp.where(y >= 0, y, 0.2 * y) * _SQRT2
+        y = jnp.where(y >= 0, y, jnp.asarray(0.2, y.dtype) * y) \
+            * jnp.asarray(_SQRT2, y.dtype)
     out_ref[0] = y.astype(out_ref.dtype)
 
 
@@ -101,11 +99,14 @@ def fused_blur4(x: jax.Array, taps: tuple, pad: tuple = (1, 1),
     assert len(taps) == 4
     b, h, w, cch = x.shape
     p0, p1 = pad
-    xp = jnp.pad(x, ((0, 0), (p0, p1), (p0, p1), (0, 0)))
     hp, wp = h + p0 + p1, w + p0 + p1
     ho, wo = hp - 3, wp - 3
-    tr = min(64, ho)
+    tr = min(16, ho)   # row tile; halo arrives via a 4-row second view
     assert ho % tr == 0 and cch % 128 == 0
+    n_row_tiles = ho // tr
+    # pad rows to ho+4 so the 4-row halo view of the last tile is in
+    # bounds (base padded height is ho+3)
+    xp = jnp.pad(x, ((0, 0), (p0, p1 + 1), (p0, p1), (0, 0)))
 
     # true convolution == correlate with flipped taps
     tf = tuple(float(t) for t in taps[::-1])
@@ -117,14 +118,20 @@ def fused_blur4(x: jax.Array, taps: tuple, pad: tuple = (1, 1),
     bias_in = (bias if has_bias
                else jnp.zeros((cch,), x.dtype)).astype(x.dtype)
 
-    grid = (b, ho // tr, cch // 128)
+    grid = (b, n_row_tiles, cch // 128)
     kernel = functools.partial(_kernel, taps=tf, tr=tr, wp=wp, act=act,
                                has_scale=has_scale, has_bias=has_bias)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),             # x (manual DMA)
+            pl.BlockSpec((1, tr, wp, 128),
+                         lambda b_, r_, c_: (b_, r_, 0, c_),
+                         memory_space=pltpu.VMEM),          # rows tile
+            pl.BlockSpec((1, 4, wp, 128),
+                         lambda b_, r_, c_, tr_=tr: (b_, (r_ + 1) * tr_ // 4,
+                                                     0, c_),
+                         memory_space=pltpu.VMEM),          # 4-row halo
             pl.BlockSpec((1, 1, 128), lambda b_, r_, c_: (b_, 0, c_),
                          memory_space=pltpu.VMEM),          # scale
             pl.BlockSpec((1, 128), lambda b_, r_, c_: (0, c_),
@@ -134,9 +141,5 @@ def fused_blur4(x: jax.Array, taps: tuple, pad: tuple = (1, 1),
                                lambda b_, r_, c_: (b_, r_, 0, c_),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, ho, wo, cch), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((tr + 3, wp, 128), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=interpret,
-    )(xp, scale_in.reshape(b, 1, cch), bias_in.reshape(1, cch))
+    )(xp, xp, scale_in.reshape(b, 1, cch), bias_in.reshape(1, cch))

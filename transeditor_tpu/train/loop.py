@@ -72,7 +72,8 @@ def train(
         rng, init_key = jax.random.split(rng)
         state = init_state(cfg, tcfg, init_key)
 
-    if mesh is None and len(jax.devices()) > 1:
+    n_dev = len(jax.devices())
+    if mesh is None and n_dev > 1 and tcfg.batch_size % n_dev == 0:
         mesh = create_mesh()
     if mesh is not None:
         state = state.replace(
