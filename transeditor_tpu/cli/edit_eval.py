@@ -1,0 +1,149 @@
+"""Edit-quality evaluation CLI (the editing_evaluate / calculate_score
+/ editing_evaluate_id analogue).
+
+Re-scores saved edit strips (from cli/edit.py) with one or more
+attribute classifiers, then reports per-space disentanglement ratios
+(drift of interest attributes / drift of the edited attribute),
+score correlations, boundary cosines, and optional ArcFace ID
+preservation vs the strip's center frame.
+
+Usage:
+  python -m transeditor_tpu.cli.edit_eval --strips_dir edits/age/3_7_0 \
+      --edited_attr age --classifier age=age_sd.pth gender=gender_sd.pth \
+      [--arcface ir_se50.pth] [--boundaries edits/boundary_age_z.npy ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+from collections import defaultdict
+
+import numpy as np
+
+from transeditor_tpu.edit.evaluate import (boundary_cosine,
+                                           disentanglement_score,
+                                           id_preservation,
+                                           score_correlation)
+
+SPACES = ("pz_plus", "p_plus", "z_plus")
+_FRAME_RE = re.compile(r"origin_(\d+)_edit_(\d+)_")
+
+
+def load_strips(strips_dir: str):
+    """{space: {sample: [steps,H,W,3] float[-1,1]}} from saved frames."""
+    from PIL import Image
+    out = {}
+    for space in SPACES:
+        d = os.path.join(strips_dir, space)
+        if not os.path.isdir(d):
+            continue
+        frames = defaultdict(dict)
+        for f in glob.glob(os.path.join(d, "origin_*_edit_*.png")):
+            m = _FRAME_RE.search(os.path.basename(f))
+            if not m:
+                continue
+            i, j = int(m.group(1)), int(m.group(2))
+            frames[i][j] = f
+        samples = {}
+        for i, steps in frames.items():
+            imgs = [np.asarray(Image.open(steps[j]).convert("RGB"))
+                    for j in sorted(steps)]
+            samples[i] = np.stack(imgs).astype(np.float32) / 127.5 - 1.0
+        if samples:
+            out[space] = samples
+    return out
+
+
+def build_scorers(specs):
+    from transeditor_tpu.edit.classifiers import make_scorer, port_dex_vgg
+    from transeditor_tpu.io.torch_port import load_torch_checkpoint
+    scorers = {}
+    for spec in specs or []:
+        name, path = spec.split("=", 1)
+        sd = load_torch_checkpoint(path)
+        scorers[name] = make_scorer(name, port_dex_vgg(sd))
+    return scorers
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--strips_dir", required=True)
+    ap.add_argument("--edited_attr", required=True)
+    ap.add_argument("--classifier", nargs="*", default=None,
+                    help="attr=ckpt.pth pairs")
+    ap.add_argument("--arcface", type=str, default=None)
+    ap.add_argument("--boundaries", nargs="*", default=None,
+                    help="boundary .npy files to cross-compare")
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args(argv)
+
+    strips = load_strips(args.strips_dir)
+    scorers = build_scorers(args.classifier)
+    report = {}
+
+    if scorers:
+        trajs = {a: {s: [] for s in strips} for a in scorers}
+        for space, samples in strips.items():
+            for i, imgs in sorted(samples.items()):
+                for attr, scorer in scorers.items():
+                    trajs[attr][space].append(
+                        np.asarray(scorer(imgs)).tolist())
+        report["trajectories"] = trajs
+        if args.edited_attr in scorers:
+            dis = {}
+            for space in strips:
+                change = trajs[args.edited_attr][space]
+                for attr in scorers:
+                    if attr == args.edited_attr:
+                        continue
+                    dis[f"{attr}/{space}"] = disentanglement_score(
+                        change, trajs[attr][space])
+                    dis[f"corr_{attr}/{space}"] = score_correlation(
+                        change, trajs[attr][space])
+            report["disentanglement"] = dis
+
+    if args.arcface:
+        from transeditor_tpu.io.torch_port import load_torch_checkpoint
+        from transeditor_tpu.io.zoo_port import port_arcface
+        from transeditor_tpu.models.irse import ArcFaceBackbone
+        from transeditor_tpu.train.coach import face_crop, resize_112
+        import jax.numpy as jnp
+        arc = ArcFaceBackbone()
+        arc_vars = port_arcface(load_torch_checkpoint(args.arcface))
+
+        def embed(img):
+            return arc.apply(arc_vars, resize_112(face_crop(
+                jnp.asarray(img))))
+
+        ids = {}
+        for space, samples in strips.items():
+            sims = []
+            for i, imgs in samples.items():
+                mid = imgs[len(imgs) // 2][None]
+                sims.append(id_preservation(
+                    embed, np.repeat(mid, len(imgs), 0), imgs).mean())
+            ids[space] = float(np.mean(sims))
+        report["id_preservation"] = ids
+
+    if args.boundaries and len(args.boundaries) >= 2:
+        cos = {}
+        for i in range(len(args.boundaries)):
+            for j in range(i + 1, len(args.boundaries)):
+                a, b = args.boundaries[i], args.boundaries[j]
+                cos[f"{os.path.basename(a)}~{os.path.basename(b)}"] = \
+                    boundary_cosine(np.load(a), np.load(b))
+        report["boundary_cosine"] = cos
+
+    text = json.dumps(report, indent=2)
+    print(text)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text)
+
+
+if __name__ == "__main__":
+    main()

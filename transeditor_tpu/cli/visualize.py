@@ -213,6 +213,24 @@ def run_dat_interp(s: Sampler, out_dir, space="z", n=6, steps=4,
                  make_grid(np.concatenate(rows), nrow=n))
 
 
+def run_similarity(s: Sampler, out_dir, n=8, seed=0):
+    """Dump per-block, per-head cross-attention similarity heatmaps
+    (reference save_similarity, train_spatial_query.py:114-122)."""
+    cfg = s.cfg
+    z = sample_tokens(_key(seed), n, cfg.n_tokens, cfg.style_dim)
+    p = sample_tokens(_key(seed + 1), n, cfg.n_tokens, cfg.param_dim)
+    out = s.gen.apply(s.params, jnp.asarray(z), jnp.asarray(p),
+                      return_similarity=True)
+    os.makedirs(out_dir, exist_ok=True)
+    from transeditor_tpu.utils.image import colorize_heatmap
+    for layer, sim in enumerate(out.similarity):
+        sim = np.asarray(sim, np.float32).mean(axis=0)  # [heads, 16, 16]
+        for head in range(sim.shape[0]):
+            save_png(os.path.join(out_dir,
+                                  f"sim_{layer:02d}_{head:02d}.png"),
+                     colorize_heatmap(sim[head]))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True,

@@ -58,8 +58,9 @@ def _kernel(xa_ref, xb_ref, scale_ref, bias_ref, out_ref,
     if has_bias:
         y = y + bias_ref[0, :][None, None, :]
     if act:
-        y = jnp.where(y >= 0, y, jnp.asarray(0.2, y.dtype) * y) \
-            * jnp.asarray(_SQRT2, y.dtype)
+        # max/min form: Mosaic v5e rejects bf16 compares (arith.cmpf)
+        y = (jnp.maximum(y, 0) + jnp.asarray(0.2, y.dtype)
+             * jnp.minimum(y, 0)) * jnp.asarray(_SQRT2, y.dtype)
     out_ref[0] = y.astype(out_ref.dtype)
 
 

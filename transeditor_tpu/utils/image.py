@@ -37,3 +37,21 @@ def make_grid(imgs: np.ndarray, nrow: int = 8, pad: int = 2,
 def save_png(path: str, img_uint8: np.ndarray) -> None:
     from PIL import Image
     Image.fromarray(img_uint8).save(path)
+
+
+def colorize_heatmap(x: np.ndarray, upscale: int = 16) -> np.ndarray:
+    """[H,W] scores -> uint8 RGB viridis-ish heatmap (the attention
+    similarity plots, reference train_spatial_query.py:114-122)."""
+    x = np.asarray(x, np.float32)
+    x = (x - x.min()) / max(x.max() - x.min(), 1e-12)
+    # compact 3-anchor colormap: dark blue -> green -> yellow
+    anchors = np.asarray([[68, 1, 84], [33, 145, 140], [253, 231, 37]],
+                         np.float32)
+    t = x * 2.0
+    lo = np.clip(np.floor(t).astype(int), 0, 1)
+    frac = (t - lo)[..., None]
+    rgb = anchors[lo] * (1 - frac) + anchors[lo + 1] * frac
+    img = rgb.astype(np.uint8)
+    if upscale > 1:
+        img = np.repeat(np.repeat(img, upscale, 0), upscale, 1)
+    return img
