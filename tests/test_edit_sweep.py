@@ -1,0 +1,58 @@
+"""End-to-end editing pipeline on a tiny model: score -> boundaries ->
+strips (the edit_all_noinversion flow, miniaturised)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transeditor_tpu.config import ModelConfig
+from transeditor_tpu.edit.sweep import (collect_scored_latents,
+                                        edit_sample, make_strip_decoder,
+                                        run_noinversion_sweep,
+                                        train_dual_boundaries)
+from transeditor_tpu.models import Generator
+
+CFG = ModelConfig(size=16, style_dim=32, param_dim=32, max_channels=32,
+                  n_trans=1)
+
+
+@pytest.fixture(scope="module")
+def gen_params():
+    g = Generator(CFG)
+    z = jnp.zeros((1, 16, 32))
+    return g.init(jax.random.PRNGKey(0), z, z)
+
+
+def brightness_scorer(img):
+    """A deterministic stand-in attribute: mean brightness."""
+    return jnp.mean(img, axis=(1, 2, 3))
+
+
+def test_full_noinversion_pipeline(gen_params, tmp_path):
+    z_flat, p_flat, scores = collect_scored_latents(
+        CFG, gen_params, brightness_scorer, n_samples=256, batch=64)
+    assert z_flat.shape == (256, 16 * 32)
+    assert np.isfinite(scores).all()
+
+    boundaries = train_dual_boundaries(z_flat, p_flat, scores,
+                                       chosen_ratio=0.1)
+    assert boundaries["z"].shape == (1, 16 * 32)
+
+    run_noinversion_sweep(CFG, gen_params, brightness_scorer, boundaries,
+                          str(tmp_path), "bright", 2.0, 2.0,
+                          n_edit_samples=2, steps=5)
+    for space in ("pz_plus", "p_plus", "z_plus"):
+        frames = os.listdir(tmp_path / space)
+        assert any(f.startswith("origin_0_edit_") for f in frames)
+        assert any(f.startswith("strip_") for f in frames)
+
+    # edited-attribute scores should trend with the boundary direction
+    decode = make_strip_decoder(CFG, gen_params, brightness_scorer)
+    zp = z_flat[0].reshape(16, 32)
+    pp = p_flat[0].reshape(16, 32)
+    strips = edit_sample(decode, zp, pp, boundaries, 4.0, 4.0, steps=7)
+    traj = strips["pz_plus"].scores
+    assert traj[-1] != traj[0]
