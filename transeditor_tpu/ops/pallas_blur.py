@@ -66,10 +66,16 @@ def _kernel(xa_ref, xb_ref, scale_ref, bias_ref, out_ref,
 
 @functools.lru_cache(maxsize=1)
 def platform_ok() -> bool:
-    """Use the Mosaic kernel only on TPU-family backends (overridable
-    with TEIO_NO_PALLAS=1)."""
+    """Opt-in (TEIO_PALLAS=1): measured on a v5e, the whole-generator
+    throughput with this kernel is LOWER than XLA's depthwise-conv blur
+    (883-977 img/s vs 1537 at batch 256) — the standalone custom call
+    defeats XLA's producer/consumer fusion and pipelining around the
+    blur, which outweighs the pass it saves.  The kernel is kept as
+    validated infrastructure (exact vs the conv oracle at 1e-6 on
+    hardware) for revisiting with a fused-transpose-conv formulation.
+    """
     import os
-    if os.environ.get("TEIO_NO_PALLAS"):
+    if not os.environ.get("TEIO_PALLAS"):
         return False
     try:
         return jax.devices()[0].platform in ("tpu",)
