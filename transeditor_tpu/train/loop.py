@@ -116,12 +116,14 @@ def train(
                             and i % tcfg.g_reg_every == 0))
         imgs_seen += real.shape[0]
 
-        if i % 50 == 0:
+        # materialising metrics forces a device sync; only do it on the
+        # logging cadence so steps pipeline back-to-back in between
+        if i % logger.log_every == 0:
             dt = time.perf_counter() - t0
             metrics = dict(metrics)
             metrics["imgs_per_sec"] = imgs_seen / max(dt, 1e-9)
             t0, imgs_seen = time.perf_counter(), 0
-        logger.log(i, {k: v for k, v in metrics.items()})
+            logger.log(i, {k: float(v) for k, v in metrics.items()})
 
         if i % tcfg.sample_every == 0:
             grid = make_grid(np.asarray(ema_sample(state.g_ema),
