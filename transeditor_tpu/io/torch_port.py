@@ -70,57 +70,65 @@ _DTYPES = {
 }
 
 
+class _StorageStub:
+    def __init__(self, key, dtype):
+        self.key = key
+        self.dtype = dtype
+
+
+def _storage_dtype(name: str):
+    for k, v in _DTYPES.items():
+        if k == name:
+            return v
+    return np.float32  # UntypedStorage / unknown: bytes-compatible guess
+
+
 def _load_zip_pickle(path):
     """Minimal torch-zip reader: unpickle with storage stubs backed by
     the archive's ``data/<key>`` blobs (no torch dependency)."""
     zf = zipfile.ZipFile(path)
-    names = zf.namelist()
-    prefix = names[0].split("/", 1)[0]
-    storages: Dict[str, np.ndarray] = {}
+    prefix = zf.namelist()[0].split("/", 1)[0]
+    blobs: Dict[str, np.ndarray] = {}
 
-    class _Storage:
-        def __init__(self, key, dtype):
-            self.key, self.dtype = key, dtype
-
-    def persistent_load(saved_id):
-        typename, storage_type, key, _location, _numel = (
-            saved_id[0], saved_id[1], saved_id[2], saved_id[3], saved_id[4])
-        assert typename == "storage"
-        name = getattr(storage_type, "__name__", str(storage_type))
-        dtype = None
-        for k, v in _DTYPES.items():
-            if k.lower().startswith(name.lower().replace("untyped", "")) \
-               or name in k:
-                dtype = v
-                break
-        return _Storage(key, dtype)
-
-    class _Unpickler(pickle.Unpickler):
-        def find_class(self, module, name):
-            if module.startswith("torch"):
-                if name == "_rebuild_tensor_v2":
-                    return _rebuild_tensor_v2
-                # storage classes: return a stand-in carrying the name
-                return type(name, (), {"__name__": name})
-            return super().find_class(module, name)
-
-        persistent_load = staticmethod(persistent_load)
-
-    def _rebuild_tensor_v2(storage, offset, size, stride, *_args):
-        blob = storages.setdefault(
-            storage.key,
-            np.frombuffer(zf.read(f"{prefix}/data/{storage.key}"),
-                          dtype=storage.dtype or np.float32))
-        itemcount = int(np.prod(size)) if size else 1
+    def rebuild_tensor_v2(storage, offset, size, stride, *_args):
+        if storage.key not in blobs:
+            blobs[storage.key] = np.frombuffer(
+                zf.read(f"{prefix}/data/{storage.key}"),
+                dtype=storage.dtype)
+        blob = blobs[storage.key]
         if not size:
-            return blob[offset:offset + 1].reshape(())
+            return np.array(blob[offset])
         flat = np.lib.stride_tricks.as_strided(
             blob[offset:], shape=tuple(size),
             strides=tuple(s * blob.itemsize for s in stride))
         return np.array(flat)
 
+    def rebuild_parameter(data, *_args):
+        return data
+
+    class Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module.startswith("torch"):
+                if name == "_rebuild_tensor_v2":
+                    return rebuild_tensor_v2
+                if name == "_rebuild_parameter":
+                    return rebuild_parameter
+                if name.endswith("Storage"):
+                    return name  # sentinel carrying the dtype name
+                # dtypes / misc torch symbols: return a harmless stub
+                return lambda *a, **k: None
+            return super().find_class(module, name)
+
+        def persistent_load(self, saved_id):
+            typename, storage_type, key = saved_id[0], saved_id[1], \
+                saved_id[2]
+            assert typename == "storage", typename
+            name = (storage_type if isinstance(storage_type, str)
+                    else getattr(storage_type, "__name__", "FloatStorage"))
+            return _StorageStub(key, _storage_dtype(name))
+
     with zf.open(f"{prefix}/data.pkl") as f:
-        return _Unpickler(io.BytesIO(f.read())).load()
+        return Unpickler(io.BytesIO(f.read())).load()
 
 
 # ---------------------------------------------------------------------------
