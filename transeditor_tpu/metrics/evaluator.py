@@ -103,7 +103,8 @@ def real_stats_from_source(source, inception_params, resolution: int,
 def evaluate_lpips_diversity(cfg: ModelConfig, gen_params, lpips_params,
                              n_images: int = 40, n_batches: int = 1000,
                              truncation: float = 1.0, seed: int = 0,
-                             pair_chunk: int = 130) -> Dict[str, float]:
+                             pair_chunk: int = 130,
+                             mesh=None) -> Dict[str, float]:
     """Three-regime mean pairwise LPIPS (evaluate_query.py:94-133).
 
     TPU-native: the 780 pairs per group are evaluated as batched LPIPS
@@ -130,7 +131,9 @@ def evaluate_lpips_diversity(cfg: ModelConfig, gen_params, lpips_params,
         def chunk_dist(start):
             ii = jax.lax.dynamic_slice_in_dim(iu, start, pair_chunk)
             jj = jax.lax.dynamic_slice_in_dim(ju, start, pair_chunk)
-            return lpips.apply(lpips_params, img[ii], img[jj])
+            a = _shard_batch_constraint(img[ii], mesh)
+            b = _shard_batch_constraint(img[jj], mesh)
+            return lpips.apply(lpips_params, a, b)
 
         n_chunks = max(1, n_pairs // pair_chunk)
         dists = [chunk_dist(c * pair_chunk) for c in range(n_chunks)]

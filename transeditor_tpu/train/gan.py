@@ -128,15 +128,17 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig,
         return losses.g_nonsaturating_loss(
             d_forward(params_d, fake).astype(f32))
 
-    def g_path_loss_fn(params_g, z, p, noise_img, mean_pl):
+    def g_path_loss_fn(params_g, z, p, noise_img, mean_pl, key):
         variables = {"params": params_g}
         z_plus, p_plus = gen.apply(variables, z, p, method="map_codes")
         tokens = gen.apply(variables, z_plus, p_plus,
                            method="interact_codes")
         latent = gen.apply(variables, tokens, method="style_latents_from")
+        rngs = {"noise": key} if cfg.layer_noise_injection else None
 
         def synth(lat):
-            return gen.apply(variables, p_plus, lat, method="synthesize")
+            return gen.apply(variables, p_plus, lat, method="synthesize",
+                             rngs=rngs)
 
         penalty, path_mean, path_lengths = losses.path_length_penalty(
             synth, latent, noise_img, mean_pl)
@@ -216,7 +218,7 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig,
                 k_pnoise, (path_batch, cfg.size, cfg.size, 3))
             (_, (mean_pl, path_len, path_pen)), pg = jax.value_and_grad(
                 g_path_loss_fn, has_aux=True)(
-                    params_g, z, p, noise_img, state.mean_path_length)
+                    params_g, z, p, noise_img, state.mean_path_length, kn)
             upd, opt_g = g_opt.update(pg, opt_g, params_g)
             params_g = optax.apply_updates(params_g, upd)
             metrics.update(path=path_pen, path_length=path_len)
