@@ -201,16 +201,35 @@ def project(cfg: ModelConfig, gen_params, lpips_params,
                             noises=noise_normalize(opt_vars["noises"]))
         return (opt_vars, opt_state), (p_loss, n_loss, mse)
 
-    @jax.jit
-    def run(opt_vars):
-        opt_state = opt.init(opt_vars)
-        (opt_vars, _), traces = jax.lax.scan(
-            step_fn, (opt_vars, opt_state), jnp.arange(pcfg.steps))
-        noises = opt_vars.get("noises") if pcfg.optimize_noise else None
-        final = decode(opt_vars["z"], opt_vars["p"], noises)
-        return opt_vars, final, traces
+    # NOTE: ONE scan over all 10k steps de-optimizes badly on TPU
+    # (measured 295 ms/step vs 22 ms/step in <=50-step chunks — a
+    # length-dependent XLA/Mosaic pathology), so the optimisation runs
+    # as a host loop of jitted fixed-size scan chunks; optax's count
+    # state keeps the LR schedule globally consistent across chunks.
+    chunk = min(50, pcfg.steps)
 
-    opt_vars, final_img, traces = run(opt_vars0)
+    @jax.jit
+    def run_chunk(opt_vars, opt_state, steps_slice):
+        (opt_vars, opt_state), traces = jax.lax.scan(
+            step_fn, (opt_vars, opt_state), steps_slice)
+        return opt_vars, opt_state, traces
+
+    @jax.jit
+    def final_decode(opt_vars):
+        noises = opt_vars.get("noises") if pcfg.optimize_noise else None
+        return decode(opt_vars["z"], opt_vars["p"], noises)
+
+    opt_vars = opt_vars0
+    opt_state = opt.init(opt_vars0)
+    traces_chunks = []
+    for start in range(0, pcfg.steps, chunk):
+        n = min(chunk, pcfg.steps - start)   # tail chunk compiles once
+        opt_vars, opt_state, tr = run_chunk(
+            opt_vars, opt_state, jnp.arange(start, start + n))
+        traces_chunks.append(tr)
+    traces = tuple(jnp.concatenate([t[i] for t in traces_chunks])
+                   for i in range(3))
+    final_img = final_decode(opt_vars)
     result = {
         "z_plus": np.asarray(opt_vars["z"]),
         "p_plus": np.asarray(opt_vars["p"]),
