@@ -63,6 +63,10 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=61)
     p.add_argument("--style_distance", type=float, default=3.0)
     p.add_argument("--content_distance", type=float, default=7.0)
+    p.add_argument("--config", type=str, default=None,
+                   help="JSON sweep config {style_end_distance: [...], "
+                        "content_end_distance: [...], seed: [lo, hi]} "
+                        "(the reference's config_noinversion/*.json)")
     p.add_argument("--n_edit_samples", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--truncation", type=float, default=1.0)
@@ -98,9 +102,31 @@ def main(argv=None):
         np.save(zb_file, boundaries["z"])
         np.save(pb_file, boundaries["p"])
 
+    # sweep combos: explicit flags, or the reference's JSON config
+    # (style/content end-distance grids x seed range)
+    combos = [(args.style_distance, args.content_distance, args.seed)]
+    if args.config:
+        import json
+        with open(args.config) as f:
+            c = json.load(f)
+        seeds = range(*c.get("seed", [args.seed, args.seed + 1]))
+        combos = [(es, ec, s)
+                  for s in seeds
+                  for es in c.get("style_end_distance",
+                                  [args.style_distance])
+                  for ec in c.get("content_end_distance",
+                                  [args.content_distance])]
+
+    for e_s, e_c, seed in combos:
+        _run_one(args, cfg, gen_params, scorer, boundaries, e_s, e_c, seed)
+    print("edit sweep done")
+
+
+def _run_one(args, cfg, gen_params, scorer, boundaries, style_distance,
+             content_distance, seed):
     edit_dir = os.path.join(
         args.out_dir, args.attribute,
-        f"{args.style_distance}_{args.content_distance}_{args.seed}")
+        f"{style_distance}_{content_distance}_{seed}")
     if args.encoded_z:
         # inversion variant: edit real-image latents
         z = np.load(args.encoded_z)
@@ -108,16 +134,15 @@ def main(argv=None):
         decode = make_strip_decoder(cfg, gen_params, scorer)
         for i in range(min(len(z), args.n_edit_samples)):
             strips = edit_sample(decode, z[i], p_codes[i], boundaries,
-                                 args.style_distance,
-                                 args.content_distance, args.steps)
+                                 style_distance, content_distance,
+                                 args.steps)
             save_strips(strips, edit_dir, i, args.attribute)
     else:
         run_noinversion_sweep(
             cfg, gen_params, scorer, boundaries, edit_dir,
-            args.attribute, args.style_distance, args.content_distance,
+            args.attribute, style_distance, content_distance,
             n_edit_samples=args.n_edit_samples, steps=args.steps,
-            seed=args.seed, truncation=args.truncation)
-    print("edit sweep done")
+            seed=seed, truncation=args.truncation)
 
 
 if __name__ == "__main__":
