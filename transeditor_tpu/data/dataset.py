@@ -93,8 +93,14 @@ def make_train_iterator(
     shuffle: bool = True,
     prefetch: int = 2,
     flip: bool = True,
+    normalize: bool = True,
 ) -> Iterator[np.ndarray]:
-    """Infinite host-sharded batch iterator with background prefetch."""
+    """Infinite host-sharded batch iterator with background prefetch.
+
+    ``normalize=False`` yields flipped uint8 batches — ship those to the
+    device and normalize there (4x less host->device traffic); the
+    train step accepts either.
+    """
     n = len(source)
     local_indices = np.arange(host_index, n, host_count)
 
@@ -114,7 +120,11 @@ def make_train_iterator(
             imgs = np.stack([source.get(i, resolution) for i in batch_idx])
             flips = (rng.rand(batch_size) < 0.5) if flip else \
                 np.zeros(batch_size, bool)
-            out_q.put(_to_train_batch(imgs, flips))
+            if normalize:
+                out_q.put(_to_train_batch(imgs, flips))
+            else:
+                imgs[flips] = imgs[flips, :, ::-1, :]
+                out_q.put(imgs)
 
     q: queue_lib.Queue = queue_lib.Queue(maxsize=prefetch)
     t = threading.Thread(target=producer, args=(q,), daemon=True)

@@ -179,6 +179,10 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig,
     def train_step(state: GANTrainState, real: jax.Array, rng: jax.Array,
                    do_d_reg: bool = False, do_g_reg: bool = False,
                    do_spatial_reg: bool = False):
+        if real.dtype == jnp.uint8:
+            # normalize on device: uint8 batches are 4x cheaper to ship
+            # host->device than pre-normalized float32
+            real = real.astype(jnp.float32) / 127.5 - 1.0
         metrics = {}
         k_d, k_g, k_path, k_pnoise, k_sp, k_spn = jax.random.split(rng, 6)
 
