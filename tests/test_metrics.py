@@ -83,3 +83,25 @@ def test_lpips_basic_properties():
     assert d_same.shape == (2,)
     np.testing.assert_allclose(np.asarray(d_same), 0.0, atol=1e-6)
     assert (np.asarray(d_diff) > 0).all()
+
+
+def test_vgg16_fc7_shape():
+    from transeditor_tpu.zoo.backbones import VGG16Fc7
+    net = VGG16Fc7()
+    x = jnp.zeros((1, 224, 224, 3))
+    params = net.init(jax.random.PRNGKey(0), x)
+    feats = net.apply(params, x)
+    assert feats.shape == (1, 4096)
+
+
+def test_vgg19_loss_smoke():
+    from transeditor_tpu.zoo.backbones import (VGGFeatures, VGG19_CFG,
+                                               VGG19_TAPS,
+                                               vgg19_perceptual_loss)
+    net = VGGFeatures(tuple(VGG19_CFG), VGG19_TAPS)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3)) * 0.3
+    y = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3)) * 0.3
+    params = net.init(jax.random.PRNGKey(2), x)
+    loss = vgg19_perceptual_loss(
+        lambda p, im: net.apply(p, im), params, x, y)
+    assert np.isfinite(float(loss)) and float(loss) > 0

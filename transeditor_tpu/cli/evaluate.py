@@ -41,6 +41,11 @@ def main(argv=None):
     p.add_argument("--fid", action="store_true")
     p.add_argument("--lpips", action="store_true")
     p.add_argument("--ppl", action="store_true")
+    p.add_argument("--prdc", action="store_true")
+    p.add_argument("--real_data", type=str, default=None,
+                   help="real image folder/LMDB (needed for --prdc)")
+    p.add_argument("--vgg16_weights", type=str, default=None)
+    p.add_argument("--prdc_samples", type=int, default=50_000)
     p.add_argument("--fid_samples", type=int, default=None)
     p.add_argument("--lpips_batches", type=int, default=1000)
     p.add_argument("--ppl_samples", type=int, default=10_000)
@@ -96,6 +101,30 @@ def main(argv=None):
             ppl_samples=args.ppl_samples, batch=args.batch)
         out = {"ckpt": ck, "fid": report.fid, "lpips": report.lpips,
                "ppl": report.ppl}
+        if args.prdc:
+            assert args.real_data, "--prdc needs --real_data"
+            from transeditor_tpu.metrics.evaluator import evaluate_prdc
+            from transeditor_tpu.zoo.backbones import (VGG16Fc7,
+                                                       port_vgg16_fc7)
+            if os.path.exists(os.path.join(args.real_data, "data.mdb")):
+                from transeditor_tpu.data.native import NativeLMDBSource
+                src = NativeLMDBSource(args.real_data)
+            else:
+                from transeditor_tpu.data.dataset import ImageFolderSource
+                src = ImageFolderSource(args.real_data)
+            if args.vgg16_weights:
+                from transeditor_tpu.io.torch_port import \
+                    load_torch_checkpoint
+                vgg_params = port_vgg16_fc7(
+                    load_torch_checkpoint(args.vgg16_weights))
+            else:
+                print("WARNING: random VGG16 (pass --vgg16_weights)")
+                vgg_params = VGG16Fc7().init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+            out["prdc"] = evaluate_prdc(cfg, gen_params, vgg_params, src,
+                                        n_samples=args.prdc_samples,
+                                        batch=args.batch)
+            print(json.dumps({"prdc": out["prdc"]}), flush=True)
         print(json.dumps(out), flush=True)
         if report.fid is not None and report.fid < best_fid:
             best_fid, best_ckpt = report.fid, ck

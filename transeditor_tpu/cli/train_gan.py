@@ -10,6 +10,7 @@ DATA_DIR: image folder (or LMDB dir with --lmdb).
 from __future__ import annotations
 
 import argparse
+import os
 
 from transeditor_tpu.config import ModelConfig, TrainConfig
 from transeditor_tpu.data.dataset import ImageFolderSource, make_train_iterator
@@ -79,14 +80,34 @@ def main(argv=None):
     p.add_argument("--regu_space", type=str, default="p+")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out_dir", type=str, default="out")
+    p.add_argument("--lmdb", action="store_true",
+                   help="force the native LMDB loader")
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint dir to resume from (latest step)")
     add_model_flags(p)
     args = p.parse_args(argv)
 
     cfg, tcfg = build_configs(args)
-    source = ImageFolderSource(args.path)
-    data = make_train_iterator(source, tcfg.batch_size, cfg.size,
-                               seed=tcfg.seed)
-    train(cfg, tcfg, data, out_dir=args.out_dir, exp_name=args.exp_name)
+    if args.lmdb or os.path.exists(os.path.join(args.path, "data.mdb")):
+        from transeditor_tpu.data.native import NativeLMDBLoader
+        data = NativeLMDBLoader(args.path, tcfg.batch_size, cfg.size,
+                                seed=tcfg.seed)
+    else:
+        source = ImageFolderSource(args.path)
+        # uint8 batches; the train step normalizes on device
+        data = make_train_iterator(source, tcfg.batch_size, cfg.size,
+                                   seed=tcfg.seed, normalize=False)
+    state, start_step = None, 0
+    if args.resume:
+        import jax
+        from transeditor_tpu.io.checkpoint import restore_train_state
+        from transeditor_tpu.train.gan import init_state
+        template = init_state(cfg, tcfg, jax.random.PRNGKey(tcfg.seed))
+        state, start_step = restore_train_state(args.resume, template)
+        print(f"resumed from step {start_step}")
+
+    train(cfg, tcfg, data, out_dir=args.out_dir, exp_name=args.exp_name,
+          state=state, start_step=start_step)
 
 
 if __name__ == "__main__":

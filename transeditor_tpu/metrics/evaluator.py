@@ -150,6 +150,53 @@ def evaluate_lpips_diversity(cfg: ModelConfig, gen_params, lpips_params,
     return {k: v / n_batches for k, v in sums.items()}
 
 
+def evaluate_prdc(cfg: ModelConfig, gen_params, vgg_params, real_source,
+                  n_samples: int = 50_000, batch: int = 64,
+                  nearest_k: int = 3, seed: int = 0,
+                  mesh=None) -> Dict[str, float]:
+    """PRDC protocol (metrics/calc_prdc.py:69-122): VGG16-fc7 features
+    of n generated vs n real images, k=3 manifold estimation."""
+    from transeditor_tpu.metrics.prdc import compute_prdc
+    from transeditor_tpu.zoo.backbones import VGG16Fc7
+
+    gen = Generator(cfg)
+    vgg = VGG16Fc7()
+
+    @jax.jit
+    def gen_features(key):
+        kz, kp = jax.random.split(key)
+        z = sample_tokens(kz, batch, cfg.n_tokens, cfg.style_dim)
+        p = sample_tokens(kp, batch, cfg.n_tokens, cfg.param_dim)
+        z = _shard_batch_constraint(z, mesh)
+        p = _shard_batch_constraint(p, mesh)
+        img = gen.apply(gen_params, z, p).image.astype(jnp.float32)
+        img224 = jax.image.resize(img, (batch, 224, 224, 3), "bilinear")
+        return vgg.apply(vgg_params, img224)
+
+    @jax.jit
+    def real_features(img):
+        img224 = jax.image.resize(
+            img.astype(jnp.float32),
+            (img.shape[0], 224, 224, 3), "bilinear")
+        return vgg.apply(vgg_params, img224)
+
+    key = jax.random.PRNGKey(seed)
+    fake, real = [], []
+    n = min(n_samples, len(real_source))
+    done = 0
+    i = 0
+    while done < n:
+        fake.append(np.asarray(gen_features(jax.random.fold_in(key, i))))
+        idx = range(done, min(done + batch, n))
+        imgs = np.stack([real_source.get(j, cfg.size) for j in idx])
+        real.append(np.asarray(real_features(
+            jnp.asarray(imgs.astype(np.float32) / 127.5 - 1.0))))
+        done += batch
+        i += 1
+    return compute_prdc(np.concatenate(real)[:n],
+                        np.concatenate(fake)[:n], nearest_k)
+
+
 @dataclasses.dataclass
 class EvalReport:
     fid: Optional[float] = None
