@@ -22,7 +22,8 @@ import numpy as np
 
 from transeditor_tpu.config import ModelConfig
 from transeditor_tpu.edit.classifiers import (DexVGG, PoseClassifier,
-                                              make_scorer, port_dex_vgg)
+                                              make_scorer, port_dex_vgg,
+                                              port_pose_classifier)
 from transeditor_tpu.edit.sweep import (collect_scored_latents,
                                         make_strip_decoder, edit_sample,
                                         run_noinversion_sweep, save_strips,
@@ -38,22 +39,39 @@ def load_scorer(args):
         sd = load_torch_checkpoint(args.classifier_ckpt)
         if args.attribute in ("age", "gender"):
             params = port_dex_vgg(sd)
+        elif args.attribute == "pose":
+            params = port_pose_classifier(sd)
         else:
-            raise NotImplementedError(
-                "pose/CelebA classifier port CLI wiring: round 2")
+            from transeditor_tpu.edit.celebahq_classifier import (
+                make_celebahq_scorer, port_celebahq_classifier)
+            return make_celebahq_scorer(port_celebahq_classifier(sd))
         return make_scorer(args.attribute, params)
     print("WARNING: no --classifier_ckpt; using a randomly initialised "
           "classifier (boundaries will be meaningless).")
-    net = DexVGG(classes=101 if args.attribute == "age" else 2)
-    params = net.init(jax.random.PRNGKey(0),
-                      jnp.zeros((1, 224, 224, 3)))
+    x0 = jnp.zeros((1, 224, 224, 3))
+    if args.attribute == "pose":
+        params = PoseClassifier().init(jax.random.PRNGKey(0), x0)
+    elif args.attribute in ("age", "gender"):
+        net = DexVGG(classes=101 if args.attribute == "age" else 2)
+        params = net.init(jax.random.PRNGKey(0), x0)
+    else:
+        from transeditor_tpu.edit.celebahq_classifier import (
+            CelebAHQAttributeClassifier, make_celebahq_scorer)
+        params = CelebAHQAttributeClassifier().init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
+        return make_celebahq_scorer(params)
     return make_scorer(args.attribute, params)
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt", required=True)
-    p.add_argument("--attribute", type=str, default="age")
+    p.add_argument("--attribute", type=str, default="age",
+                   help="age/gender/pose (FFHQ DEX) or a CelebA "
+                        "attribute name")
+    p.add_argument("--attribute_index", type=int, default=None,
+                   help="index into the 40-entry CelebA-HQ attribute "
+                        "registry (reference edit_all_*_celebahq.py)")
     p.add_argument("--classifier_ckpt", type=str, default=None)
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--num_trans", type=int, default=8)
@@ -77,6 +95,13 @@ def main(argv=None):
     p.add_argument("--encoded_p", type=str, default=None)
     p.add_argument("--dtype", type=str, default="bfloat16")
     args = p.parse_args(argv)
+    if args.attribute_index is not None:
+        from transeditor_tpu.edit.celebahq_classifier import (
+            CELEBAHQ_ATTRIBUTES)
+        if not 0 <= args.attribute_index < len(CELEBAHQ_ATTRIBUTES):
+            p.error(f"--attribute_index must be in [0, "
+                    f"{len(CELEBAHQ_ATTRIBUTES) - 1}]")
+        args.attribute = CELEBAHQ_ATTRIBUTES[args.attribute_index]
 
     cfg = ModelConfig(size=args.size, n_trans=args.num_trans,
                       dtype=args.dtype)

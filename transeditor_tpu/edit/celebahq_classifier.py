@@ -21,6 +21,23 @@ from flax import linen as nn
 from jax import lax
 
 
+# The 40 CelebA attributes in the reference's sweep order
+# (edit_all_noinversion_celebahq.py:25-66); index into this list is the
+# reference's --attribute_index.
+CELEBAHQ_ATTRIBUTES = [
+    "Male", "Smiling", "Attractive", "Wavy_Hair", "Young",
+    "5_o_Clock_Shadow", "Arched_Eyebrows", "Bags_Under_Eyes", "Bald",
+    "Bangs", "Big_Lips", "Big_Nose", "Black_Hair", "Blond_Hair",
+    "Blurry", "Brown_Hair", "Bushy_Eyebrows", "Chubby", "Double_Chin",
+    "Eyeglasses", "Goatee", "Gray_Hair", "Heavy_Makeup",
+    "High_Cheekbones", "Mouth_Slightly_Open", "Mustache", "Narrow_Eyes",
+    "No_Beard", "Oval_Face", "Pale_Skin", "Pointy_Nose",
+    "Receding_Hairline", "Rosy_Cheeks", "Sideburns", "Straight_Hair",
+    "Wearing_Earrings", "Wearing_Hat", "Wearing_Lipstick",
+    "Wearing_Necklace", "Wearing_Necktie",
+]
+
+
 def _nf(stage: int, fmap_base=8192, fmap_max=512) -> int:
     return min(int(fmap_base / (2.0 ** stage)), fmap_max)
 
@@ -93,10 +110,16 @@ class CelebAHQAttributeClassifier(nn.Module):
 
 
 def box_downsample_256(img):
-    """Factor-mean downsample to 256 (attribute_utils.py:8-19)."""
+    """Resize to the classifier's fixed 256px: factor-mean downsample
+    (attribute_utils.py:8-19) for larger inputs; nearest upsample for
+    smaller ones (the reference never feeds <256, but small dev
+    generators do)."""
     h = img.shape[1]
-    if h <= 256:
+    if h == 256:
         return img
+    if h < 256:
+        f = 256 // h
+        return jnp.repeat(jnp.repeat(img, f, axis=1), f, axis=2)
     f = h // 256
     b, _, w, c = img.shape
     return img.reshape(b, 256, f, 256, f, c).mean(axis=(2, 4))
@@ -104,15 +127,16 @@ def box_downsample_256(img):
 
 def make_celebahq_scorer(params):
     """[-1,1] RGB NHWC -> (N,) softmaxed attribute scores
-    (attribute_utils.get_softmaxed)."""
+    (attribute_utils.get_softmaxed).  Returns a Scorer so callers can
+    route the weights through their own jit boundaries as arguments."""
+    from transeditor_tpu.edit.classifiers import Scorer
     net = CelebAHQAttributeClassifier()
 
-    @jax.jit
-    def score(img):
-        logit = net.apply(params, box_downsample_256(img))
+    def score(p, img):
+        logit = net.apply(p, box_downsample_256(img))
         return jax.nn.softmax(jnp.stack([logit, -logit], -1), axis=-1)[:, 1]
 
-    return score
+    return Scorer(score, params)
 
 
 def port_celebahq_classifier(sd: Dict[str, np.ndarray],

@@ -84,36 +84,97 @@ def dex_preprocess(img):
     return center_crop_224(x)
 
 
-def make_scorer(attribute: str, params, train_vars=None):
-    """Returns a jitted fn: [-1,1] RGB NHWC images -> [B] scores.
+class Scorer:
+    """Image -> attribute-score callable that keeps its weights OUT of
+    the jaxpr.
+
+    Weight trees must travel through jit boundaries as *arguments*:
+    closure-captured (numpy) trees get embedded as HLO constants, which
+    bloats remote-compile payloads (DexVGG's fc1 alone is 134 MB) and
+    recompiles per checkpoint.  Callers that jit around a scorer should
+    use ``scorer.fn(scorer.params, img)`` so the weights stay arguments
+    of the outer jit too.
+    """
+
+    def __init__(self, fn, params):
+        self.params = jax.tree.map(jnp.asarray, params)
+        self.fn = fn                      # fn(params, img) -> [B]
+        self._jitted = jax.jit(fn)
+
+    def __call__(self, img):
+        return self._jitted(self.params, img)
+
+
+def make_scorer(attribute: str, params, train_vars=None) -> Scorer:
+    """Returns a Scorer: [-1,1] RGB NHWC images -> [B] scores.
 
     attribute in {'age', 'gender', 'pose'}.
     """
     if attribute == "age":
         net = DexVGG(classes=101)
 
-        @jax.jit
-        def score(img):
-            return expected_age(net.apply(params, dex_preprocess(img)))
+        def score(p, img):
+            return expected_age(net.apply(p, dex_preprocess(img)))
     elif attribute == "gender":
         net = DexVGG(classes=2)
 
-        @jax.jit
-        def score(img):
-            return net.apply(params, dex_preprocess(img))[:, 0]
+        def score(p, img):
+            return net.apply(p, dex_preprocess(img))[:, 0]
     elif attribute == "pose":
         net = PoseClassifier()
 
-        @jax.jit
-        def score(img):
-            return net.apply(params, dex_preprocess(img))[:, 0]
+        def score(p, img):
+            return net.apply(p, dex_preprocess(img))[:, 0]
     else:
         raise ValueError(attribute)
-    return score
+    return Scorer(score, params)
 
 
 # ---------------------------------------------------------------------------
 # torch-state-dict porters
+
+
+def port_pose_classifier(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """ClassifyModel state dict -> PoseClassifier variables.
+
+    Reference layout (our_interfaceGAN/ffhq_utils/dex/models.py:73-89):
+    ``backbone`` is ``nn.Sequential(*resnet18().children()[:-1])``, so
+    torchvision's named children become numeric indices — 0=conv1,
+    1=bn1, 4..7=layer1..4 (each two BasicBlocks) — plus
+    ``extra_layer`` = Linear(512, n_class).
+    """
+    def bn(prefix):
+        return ({"scale": sd[f"{prefix}.weight"],
+                 "bias": sd[f"{prefix}.bias"]},
+                {"mean": sd[f"{prefix}.running_mean"],
+                 "var": sd[f"{prefix}.running_var"]})
+
+    bb_p: Dict[str, Any] = {"conv1": {"kernel": np.transpose(
+        sd["backbone.0.weight"], (2, 3, 1, 0))}}
+    bb_s: Dict[str, Any] = {}
+    bb_p["bn1"], bb_s["bn1"] = bn("backbone.1")
+    for layer in range(4):          # Sequential indices 4..7
+        for b in range(2):
+            base = f"backbone.{4 + layer}.{b}"
+            name = f"block{2 * layer + b}"
+            p: Dict[str, Any] = {
+                "conv1": {"kernel": np.transpose(
+                    sd[f"{base}.conv1.weight"], (2, 3, 1, 0))},
+                "conv2": {"kernel": np.transpose(
+                    sd[f"{base}.conv2.weight"], (2, 3, 1, 0))},
+            }
+            s: Dict[str, Any] = {}
+            p["bn1"], s["bn1"] = bn(f"{base}.bn1")
+            p["bn2"], s["bn2"] = bn(f"{base}.bn2")
+            if f"{base}.downsample.0.weight" in sd:
+                p["down_conv"] = {"kernel": np.transpose(
+                    sd[f"{base}.downsample.0.weight"], (2, 3, 1, 0))}
+                p["down_bn"], s["down_bn"] = bn(f"{base}.downsample.1")
+            bb_p[name], bb_s[name] = p, s
+    params = {"backbone": bb_p,
+              "extra_layer": {"kernel": sd["extra_layer.weight"].T,
+                              "bias": sd["extra_layer.bias"]}}
+    return {"params": params, "batch_stats": {"backbone": bb_s}}
 
 
 def port_dex_vgg(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:

@@ -37,22 +37,28 @@ def collect_scored_latents(
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Returns (z_plus_flat [N, 16*512], p_plus_flat, scores [N])."""
     gen = Generator(cfg)
+    gen_params = jax.tree.map(jnp.asarray, gen_params)
+    score_fn, score_params = _scorer_parts(scorer)
 
+    # weight trees are jit ARGUMENTS: closing over numpy trees embeds
+    # them as HLO constants (huge remote-compile payloads, recompile
+    # per checkpoint)
     @jax.jit
-    def batch_fn(key):
+    def batch_fn(gp, sp, key):
         z, p = sample_zp(key, batch, cfg.n_tokens, cfg.style_dim,
                          truncation)
-        zp, pp = gen.apply(gen_params, z, p, method="map_codes")
-        img = gen.apply(gen_params, zp, pp, map_z=False,
+        zp, pp = gen.apply(gp, z, p, method="map_codes")
+        img = gen.apply(gp, zp, pp, map_z=False,
                         map_p=False).image
-        return zp, pp, scorer(img.astype(jnp.float32))
+        return zp, pp, score_fn(sp, img.astype(jnp.float32))
 
     key = jax.random.PRNGKey(seed)
     zs, ps, scores = [], [], []
     done = 0
     i = 0
     while done < n_samples:
-        zp, pp, s = batch_fn(jax.random.fold_in(key, i))
+        zp, pp, s = batch_fn(gen_params, score_params,
+                             jax.random.fold_in(key, i))
         zs.append(np.asarray(zp))
         ps.append(np.asarray(pp))
         scores.append(np.asarray(s))
@@ -83,19 +89,34 @@ class EditStrip:
     space: str            # 'pz_plus' | 'p_plus' | 'z_plus'
 
 
+def _scorer_parts(scorer):
+    """(fn(params, img), params) form of a scorer, so its weights can
+    ride through an outer jit as arguments (see classifiers.Scorer).
+    Plain callables (tests, custom scorers) are wrapped with an empty
+    param tree."""
+    if scorer is None:
+        return (lambda _, img: jnp.zeros(img.shape[0])), ()
+    fn = getattr(scorer, "fn", None)
+    if fn is not None:
+        return fn, scorer.params
+    return (lambda _, img: scorer(img)), ()
+
+
 def make_strip_decoder(cfg: ModelConfig, gen_params,
                        scorer: Optional[Callable] = None):
     """One jitted call: decode a [steps,16,512]x2 strip + scores."""
     gen = Generator(cfg)
+    gen_params = jax.tree.map(jnp.asarray, gen_params)
+    score_fn, score_params = _scorer_parts(scorer)
 
     @jax.jit
-    def decode(z_strip, p_strip):
-        img = gen.apply(gen_params, z_strip, p_strip, map_z=False,
+    def decode(gp, sp, z_strip, p_strip):
+        img = gen.apply(gp, z_strip, p_strip, map_z=False,
                         map_p=False).image.astype(jnp.float32)
-        s = scorer(img) if scorer is not None else jnp.zeros(img.shape[0])
-        return img, s
+        return img, score_fn(sp, img)
 
-    return decode
+    return lambda z_strip, p_strip: decode(gen_params, score_params,
+                                           z_strip, p_strip)
 
 
 def edit_sample(decode, z_plus, p_plus, boundaries, style_distance,
@@ -150,16 +171,17 @@ def run_noinversion_sweep(
 ):
     """The per-(seed, distance-config) edit phase (:179-286)."""
     gen = Generator(cfg)
+    gen_params = jax.tree.map(jnp.asarray, gen_params)
 
     @jax.jit
-    def sample_codes(key):
+    def sample_codes(gp, key):
         z, p = sample_zp(key, n_edit_samples, cfg.n_tokens, cfg.style_dim,
                          truncation)
-        zp, pp = gen.apply(gen_params, z, p, method="map_codes")
-        img = gen.apply(gen_params, z, p).image
+        zp, pp = gen.apply(gp, z, p, method="map_codes")
+        img = gen.apply(gp, z, p).image
         return zp, pp, img
 
-    zp, pp, origin = sample_codes(jax.random.PRNGKey(seed))
+    zp, pp, origin = sample_codes(gen_params, jax.random.PRNGKey(seed))
     os.makedirs(os.path.join(out_dir, "origin_image"), exist_ok=True)
     save_png(os.path.join(out_dir, "origin_image", "sample_gen.png"),
              make_grid(np.asarray(origin, np.float32), nrow=1, pad=0))
