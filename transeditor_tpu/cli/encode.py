@@ -68,15 +68,19 @@ def main(argv=None):
                                              jax.random.PRNGKey(0))
 
     encoder = GradualStyleEncoder(train=False)
+    # weight trees ride through jit as ARGUMENTS, not closure constants
+    dec_params = jax.tree.map(jnp.asarray, dec_params)
+    enc_vars = jax.tree.map(jnp.asarray, enc_vars)
+    latent_avg = jax.tree.map(jnp.asarray, tuple(latent_avg))
 
     @jax.jit
-    def encode(img):
-        z, p = encoder.apply(enc_vars, img)
-        return z + latent_avg[0][None], p + latent_avg[1][None]
+    def encode(ev, avg, img):
+        z, p = encoder.apply(ev, img)
+        return z + avg[0][None], p + avg[1][None]
 
     @jax.jit
-    def decode(z, p):
-        return psp.decode(dec_params, z, p, from_plus_space=True)
+    def decode(dp, z, p):
+        return psp.decode(dp, z, p, from_plus_space=True)
 
     source = ImageFolderSource(args.data_dir)
     os.makedirs(args.out_dir, exist_ok=True)
@@ -85,11 +89,12 @@ def main(argv=None):
         idx = list(range(start, min(start + args.batch, len(source))))
         imgs = np.stack([source.get(i, cfg.size) for i in idx])
         x = jnp.asarray(imgs.astype(np.float32) / 127.5 - 1.0)
-        z, p_codes = encode(x)
+        z, p_codes = encode(enc_vars, latent_avg, x)
         zs.append(np.asarray(z))
         ps.append(np.asarray(p_codes))
         if args.save_inversions:
-            inv = np.asarray(decode(z, p_codes), np.float32)
+            inv = np.asarray(decode(dec_params, z, p_codes),
+                             np.float32)
             for k, i in enumerate(idx):
                 save_png(os.path.join(args.out_dir, f"inversion_{i}.png"),
                          to_uint8(inv)[k])

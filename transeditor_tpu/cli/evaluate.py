@@ -49,6 +49,9 @@ def main(argv=None):
     p.add_argument("--fid_samples", type=int, default=None)
     p.add_argument("--lpips_batches", type=int, default=1000)
     p.add_argument("--ppl_samples", type=int, default=10_000)
+    p.add_argument("--ppl_slerp", action="store_true",
+                   help="spherical interpolation in PPL "
+                        "(evaluate_query.py use_slerp)")
     p.add_argument("--inception_stats", type=str, default=None)
     p.add_argument("--inception_weights", type=str, default=None)
     p.add_argument("--lpips_weights", type=str, default=None)
@@ -98,7 +101,8 @@ def main(argv=None):
             lpips_params=lpips_params, do_fid=args.fid,
             do_lpips=args.lpips, do_ppl=args.ppl,
             fid_samples=fid_samples, lpips_batches=args.lpips_batches,
-            ppl_samples=args.ppl_samples, batch=args.batch)
+            ppl_samples=args.ppl_samples, batch=args.batch,
+            ppl_slerp=args.ppl_slerp)
         out = {"ckpt": ck, "fid": report.fid, "lpips": report.lpips,
                "ppl": report.ppl}
         if args.prdc:

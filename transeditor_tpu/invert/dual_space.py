@@ -21,33 +21,40 @@ class DualSpaceEncoder:
                  start_from_latent_avg: bool = True):
         self.cfg = cfg
         self.psp = PSPModel.create(cfg)
-        self.dec_params = dec_params
-        self.enc_vars = enc_vars
+        # weight trees ride through jit as ARGUMENTS, not closure
+        # constants (numpy closures embed as HLO constants: huge
+        # remote-compile payloads, recompile per checkpoint)
+        self.dec_params = jax.tree.map(jnp.asarray, dec_params)
+        self.enc_vars = jax.tree.map(jnp.asarray, enc_vars)
         if latent_avg is None and start_from_latent_avg:
             latent_avg = self.psp.estimate_latent_avg(
-                dec_params, jax.random.PRNGKey(0))
+                self.dec_params, jax.random.PRNGKey(0))
+        if latent_avg is not None:
+            latent_avg = jax.tree.map(jnp.asarray, tuple(latent_avg))
         self.latent_avg = latent_avg
         self._encoder = GradualStyleEncoder(train=False)
+        has_avg = latent_avg is not None
 
         @jax.jit
-        def _encode(img):
-            z, p = self._encoder.apply(enc_vars, img)
-            if self.latent_avg is not None:
-                z = z + self.latent_avg[0][None]
-                p = p + self.latent_avg[1][None]
+        def _encode(ev, avg, img):
+            z, p = self._encoder.apply(ev, img)
+            if has_avg:
+                z = z + avg[0][None]
+                p = p + avg[1][None]
             return z, p
 
         @jax.jit
-        def _decode_plus(z, p):
-            return self.psp.decode(dec_params, z, p, from_plus_space=True)
+        def _decode_plus(dp, z, p):
+            return self.psp.decode(dp, z, p, from_plus_space=True)
 
         @jax.jit
-        def _decode_raw(z, p):
-            return self.psp.decode(dec_params, z, p, from_plus_space=False)
+        def _decode_raw(dp, z, p):
+            return self.psp.decode(dp, z, p, from_plus_space=False)
 
-        self._encode_fn = _encode
-        self._decode_plus = _decode_plus
-        self._decode_raw = _decode_raw
+        self._encode_fn = lambda img: _encode(self.enc_vars,
+                                              self.latent_avg, img)
+        self._decode_plus = lambda z, p: _decode_plus(self.dec_params, z, p)
+        self._decode_raw = lambda z, p: _decode_raw(self.dec_params, z, p)
 
     def encode(self, images: np.ndarray):
         """[-1,1] NHWC images -> (z, p) plus-space tokens [B,16,512]."""

@@ -103,18 +103,20 @@ def estimate_latent_stats(cfg: ModelConfig, gen_params, key: jax.Array,
     Returns (z_mean [T,D], z_std [D], p_mean [T,D]).
     """
     gen = Generator(cfg)
+    # weight trees ride through jit as ARGUMENTS, not closure constants
+    gen_params = jax.tree.map(jnp.asarray, gen_params)
 
     @jax.jit
-    def chunk_stats(k):
+    def chunk_stats(gp, k):
         z, p = sample_zp(k, chunk, cfg.n_tokens, cfg.style_dim, truncation)
-        zp, pp = gen.apply(gen_params, z, p, method="map_codes")
+        zp, pp = gen.apply(gp, z, p, method="map_codes")
         return (jnp.sum(zp, 0), jnp.sum(pp, 0),
                 jnp.sum(zp.astype(jnp.float32) ** 2, 0))
 
     zs = ps = sq = 0.0
     n_chunks = n_samples // chunk
     for i in range(n_chunks):
-        a, b, c = chunk_stats(jax.random.fold_in(key, i))
+        a, b, c = chunk_stats(gen_params, jax.random.fold_in(key, i))
         zs, ps, sq = zs + a, ps + b, sq + c
     n = n_chunks * chunk
     z_mean = zs / n
@@ -142,6 +144,10 @@ def project(cfg: ModelConfig, gen_params, lpips_params,
 
     gen = Generator(cfg)
     lpips = LPIPS(net="vgg")
+    # weight trees ride through jit as ARGUMENTS, not closure constants
+    gen_params = jax.tree.map(jnp.asarray, gen_params)
+    lpips_params = jax.tree.map(jnp.asarray, lpips_params)
+    target_images = jnp.asarray(target_images)
     batch = target_images.shape[0]
 
     z0 = jnp.broadcast_to(z_mean[None], (batch, *z_mean.shape))
@@ -159,8 +165,8 @@ def project(cfg: ModelConfig, gen_params, lpips_params,
                                         pcfg.lr_rampdown, pcfg.lr_rampup)
     opt = optax.adam(schedule)
 
-    def decode(z, p, noises):
-        out = gen.apply(gen_params, z, p, map_z=False, map_p=False,
+    def decode(gp, z, p, noises):
+        out = gen.apply(gp, z, p, map_z=False, map_p=False,
                         noise=noises)
         img = out.image.astype(jnp.float32)
         if img.shape[1] > 256:
@@ -169,7 +175,7 @@ def project(cfg: ModelConfig, gen_params, lpips_params,
             img = img.reshape(b, h // f, f, w // f, f, c).mean(axis=(2, 4))
         return img
 
-    def loss_fn(opt_vars, step, kstep):
+    def loss_fn(gp, lpp, tgt, opt_vars, step, kstep):
         z = opt_vars["z"]
         if not pcfg.optimize_noise:
             noises = None
@@ -179,27 +185,15 @@ def project(cfg: ModelConfig, gen_params, lpips_params,
             strength = (z_std * pcfg.noise
                         * jnp.maximum(0.0, 1.0 - t / pcfg.noise_ramp) ** 2)
             z = z + jax.random.normal(kstep, z.shape) * strength[None, None]
-        img = decode(z, opt_vars["p"], noises)
-        p_loss = jnp.sum(lpips.apply(lpips_params, img, target_images))
-        mse = jnp.mean((img - target_images) ** 2)
+        img = decode(gp, z, opt_vars["p"], noises)
+        p_loss = jnp.sum(lpips.apply(lpp, img, tgt))
+        mse = jnp.mean((img - tgt) ** 2)
         n_loss = (noise_regularize(noises) if pcfg.optimize_noise
                   else jnp.zeros(()))
         total = p_loss + pcfg.mse_weight * mse
         if pcfg.optimize_noise:
             total = total + pcfg.noise_regularize * n_loss
         return total, (p_loss, n_loss, mse)
-
-    def step_fn(carry, step):
-        opt_vars, opt_state = carry
-        kstep = jax.random.fold_in(k_opt, step)
-        (_, (p_loss, n_loss, mse)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(opt_vars, step, kstep)
-        updates, opt_state = opt.update(grads, opt_state, opt_vars)
-        opt_vars = optax.apply_updates(opt_vars, updates)
-        if pcfg.optimize_noise:
-            opt_vars = dict(opt_vars,
-                            noises=noise_normalize(opt_vars["noises"]))
-        return (opt_vars, opt_state), (p_loss, n_loss, mse)
 
     # NOTE: ONE scan over all 10k steps de-optimizes badly on TPU
     # (measured 295 ms/step vs 22 ms/step in <=50-step chunks — a
@@ -209,15 +203,28 @@ def project(cfg: ModelConfig, gen_params, lpips_params,
     chunk = min(50, pcfg.steps)
 
     @jax.jit
-    def run_chunk(opt_vars, opt_state, steps_slice):
+    def run_chunk(gp, lpp, tgt, opt_vars, opt_state, steps_slice):
+        def step_fn(carry, step):
+            opt_vars, opt_state = carry
+            kstep = jax.random.fold_in(k_opt, step)
+            (_, (p_loss, n_loss, mse)), grads = jax.value_and_grad(
+                loss_fn, argnums=3, has_aux=True)(
+                    gp, lpp, tgt, opt_vars, step, kstep)
+            updates, opt_state = opt.update(grads, opt_state, opt_vars)
+            opt_vars = optax.apply_updates(opt_vars, updates)
+            if pcfg.optimize_noise:
+                opt_vars = dict(opt_vars,
+                                noises=noise_normalize(opt_vars["noises"]))
+            return (opt_vars, opt_state), (p_loss, n_loss, mse)
+
         (opt_vars, opt_state), traces = jax.lax.scan(
             step_fn, (opt_vars, opt_state), steps_slice)
         return opt_vars, opt_state, traces
 
     @jax.jit
-    def final_decode(opt_vars):
+    def final_decode(gp, opt_vars):
         noises = opt_vars.get("noises") if pcfg.optimize_noise else None
-        return decode(opt_vars["z"], opt_vars["p"], noises)
+        return decode(gp, opt_vars["z"], opt_vars["p"], noises)
 
     opt_vars = opt_vars0
     opt_state = opt.init(opt_vars0)
@@ -225,11 +232,12 @@ def project(cfg: ModelConfig, gen_params, lpips_params,
     for start in range(0, pcfg.steps, chunk):
         n = min(chunk, pcfg.steps - start)   # tail chunk compiles once
         opt_vars, opt_state, tr = run_chunk(
+            gen_params, lpips_params, target_images,
             opt_vars, opt_state, jnp.arange(start, start + n))
         traces_chunks.append(tr)
     traces = tuple(jnp.concatenate([t[i] for t in traces_chunks])
                    for i in range(3))
-    final_img = final_decode(opt_vars)
+    final_img = final_decode(gen_params, opt_vars)
     result = {
         "z_plus": np.asarray(opt_vars["z"]),
         "p_plus": np.asarray(opt_vars["p"]),

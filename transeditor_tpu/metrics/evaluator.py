@@ -56,9 +56,14 @@ def evaluate_fid(cfg: ModelConfig, gen_params, inception_params,
                  seed: int = 0, mesh=None) -> float:
     gen = Generator(cfg)
     inception = InceptionV3Features()
+    # weight trees ride through jit as ARGUMENTS — closing over numpy
+    # trees embeds them as HLO constants (huge remote-compile payloads,
+    # recompile per checkpoint)
+    gen_params = jax.tree.map(jnp.asarray, gen_params)
+    inception_params = jax.tree.map(jnp.asarray, inception_params)
 
     @jax.jit
-    def batch_features(key):
+    def batch_features(gp, ip, key):
         kz, kp = jax.random.split(key)
         z = sample_tokens(kz, batch, cfg.n_tokens, cfg.style_dim,
                           truncation)
@@ -66,15 +71,16 @@ def evaluate_fid(cfg: ModelConfig, gen_params, inception_params,
                           truncation)
         z = _shard_batch_constraint(z, mesh)
         p = _shard_batch_constraint(p, mesh)
-        img = gen.apply(gen_params, z, p).image.astype(jnp.float32)
-        return inception.apply(inception_params, img)
+        img = gen.apply(gp, z, p).image.astype(jnp.float32)
+        return inception.apply(ip, img)
 
     key = jax.random.PRNGKey(seed)
     feats = []
     done = 0
     i = 0
     while done < n_samples:
-        feats.append(np.asarray(batch_features(jax.random.fold_in(key, i))))
+        feats.append(np.asarray(batch_features(
+            gen_params, inception_params, jax.random.fold_in(key, i))))
         done += batch
         i += 1
     feats = np.concatenate(feats)[:n_samples]
@@ -86,17 +92,19 @@ def real_stats_from_source(source, inception_params, resolution: int,
                            n_samples: int = 50_000, batch: int = 64):
     """Precompute real-data FID stats (the calc_inception.py analogue)."""
     inception = InceptionV3Features()
+    inception_params = jax.tree.map(jnp.asarray, inception_params)
 
     @jax.jit
-    def extract(img):
-        return inception.apply(inception_params, img)
+    def extract(ip, img):
+        return inception.apply(ip, img)
 
     feats = []
     for start in range(0, min(n_samples, len(source)), batch):
         idx = range(start, min(start + batch, n_samples, len(source)))
         imgs = np.stack([source.get(i, resolution) for i in idx])
         imgs = imgs.astype(np.float32) / 127.5 - 1.0
-        feats.append(np.asarray(extract(jnp.asarray(imgs))))
+        feats.append(np.asarray(extract(inception_params,
+                                        jnp.asarray(imgs))))
     return compute_stats(np.concatenate(feats))
 
 
@@ -112,6 +120,8 @@ def evaluate_lpips_diversity(cfg: ModelConfig, gen_params, lpips_params,
     """
     gen = Generator(cfg)
     lpips = LPIPS(net="alex")
+    gen_params = jax.tree.map(jnp.asarray, gen_params)
+    lpips_params = jax.tree.map(jnp.asarray, lpips_params)
 
     iu, ju = np.triu_indices(n_images, k=1)
     iu = jnp.asarray(iu)
@@ -120,20 +130,20 @@ def evaluate_lpips_diversity(cfg: ModelConfig, gen_params, lpips_params,
     assert n_pairs % pair_chunk == 0 or pair_chunk >= n_pairs
 
     @jax.jit
-    def group_diversity(key, z_same, p_same):
+    def group_diversity(gp, lp, key, z_same, p_same):
         kz, kp = jax.random.split(key)
         z = sample_tokens(kz, n_images, cfg.n_tokens, cfg.style_dim,
                           truncation, same=z_same)
         p = sample_tokens(kp, n_images, cfg.n_tokens, cfg.param_dim,
                           truncation, same=p_same)
-        img = gen.apply(gen_params, z, p).image.astype(jnp.float32)
+        img = gen.apply(gp, z, p).image.astype(jnp.float32)
 
         def chunk_dist(start):
             ii = jax.lax.dynamic_slice_in_dim(iu, start, pair_chunk)
             jj = jax.lax.dynamic_slice_in_dim(ju, start, pair_chunk)
             a = _shard_batch_constraint(img[ii], mesh)
             b = _shard_batch_constraint(img[jj], mesh)
-            return lpips.apply(lpips_params, a, b)
+            return lpips.apply(lp, a, b)
 
         n_chunks = max(1, n_pairs // pair_chunk)
         dists = [chunk_dist(c * pair_chunk) for c in range(n_chunks)]
@@ -144,9 +154,12 @@ def evaluate_lpips_diversity(cfg: ModelConfig, gen_params, lpips_params,
     for b in range(n_batches):
         k = jax.random.fold_in(key, b)
         k1, k2, k3 = jax.random.split(k, 3)
-        sums["all"] += float(group_diversity(k1, False, False))
-        sums["fix_z"] += float(group_diversity(k2, False, True))
-        sums["fix_p"] += float(group_diversity(k3, True, False))
+        sums["all"] += float(group_diversity(gen_params, lpips_params,
+                                             k1, False, False))
+        sums["fix_z"] += float(group_diversity(gen_params, lpips_params,
+                                               k2, False, True))
+        sums["fix_p"] += float(group_diversity(gen_params, lpips_params,
+                                               k3, True, False))
     return {k: v / n_batches for k, v in sums.items()}
 
 
@@ -161,24 +174,26 @@ def evaluate_prdc(cfg: ModelConfig, gen_params, vgg_params, real_source,
 
     gen = Generator(cfg)
     vgg = VGG16Fc7()
+    gen_params = jax.tree.map(jnp.asarray, gen_params)
+    vgg_params = jax.tree.map(jnp.asarray, vgg_params)
 
     @jax.jit
-    def gen_features(key):
+    def gen_features(gp, vp, key):
         kz, kp = jax.random.split(key)
         z = sample_tokens(kz, batch, cfg.n_tokens, cfg.style_dim)
         p = sample_tokens(kp, batch, cfg.n_tokens, cfg.param_dim)
         z = _shard_batch_constraint(z, mesh)
         p = _shard_batch_constraint(p, mesh)
-        img = gen.apply(gen_params, z, p).image.astype(jnp.float32)
+        img = gen.apply(gp, z, p).image.astype(jnp.float32)
         img224 = jax.image.resize(img, (batch, 224, 224, 3), "bilinear")
-        return vgg.apply(vgg_params, img224)
+        return vgg.apply(vp, img224)
 
     @jax.jit
-    def real_features(img):
+    def real_features(vp, img):
         img224 = jax.image.resize(
             img.astype(jnp.float32),
             (img.shape[0], 224, 224, 3), "bilinear")
-        return vgg.apply(vgg_params, img224)
+        return vgg.apply(vp, img224)
 
     key = jax.random.PRNGKey(seed)
     fake, real = [], []
@@ -186,10 +201,12 @@ def evaluate_prdc(cfg: ModelConfig, gen_params, vgg_params, real_source,
     done = 0
     i = 0
     while done < n:
-        fake.append(np.asarray(gen_features(jax.random.fold_in(key, i))))
+        fake.append(np.asarray(gen_features(gen_params, vgg_params,
+                                            jax.random.fold_in(key, i))))
         idx = range(done, min(done + batch, n))
         imgs = np.stack([real_source.get(j, cfg.size) for j in idx])
         real.append(np.asarray(real_features(
+            vgg_params,
             jnp.asarray(imgs.astype(np.float32) / 127.5 - 1.0))))
         done += batch
         i += 1
@@ -209,7 +226,7 @@ def evaluate_checkpoint(cfg: ModelConfig, gen_params, *,
                         lpips_params=None, do_fid=False, do_lpips=False,
                         do_ppl=False, fid_samples=69_000,
                         lpips_batches=1000, ppl_samples=10_000,
-                        batch=64) -> EvalReport:
+                        batch=64, ppl_slerp=False) -> EvalReport:
     report = EvalReport()
     if do_fid:
         assert inception_params is not None and real_stats is not None
@@ -223,6 +240,7 @@ def evaluate_checkpoint(cfg: ModelConfig, gen_params, *,
         report.ppl = {
             space: compute_ppl(cfg, gen_params, lpips_params, space=space,
                                eval_plus=True, crop=True,
+                               use_slerp=ppl_slerp,
                                n_samples=ppl_samples, batch=batch)
             for space in ("all", "p", "z")}
     return report

@@ -33,35 +33,64 @@ def center_crop(img):
     return img[:, c * 3: c * 7, c * 2: c * 6, :]
 
 
+def slerp(a, b, t, axis=1):
+    """Spherical interpolation (evaluate_query.py:31-40).
+
+    The reference normalizes over ITS trailing axis, which in its
+    [B, 512, 16] layout is the 16-token axis — so in our [B, T, D]
+    layout the axis is 1.  Replicated exactly (use_slerp PPL variant,
+    evaluate_query.py:356-359)."""
+    def normalize(x):
+        return x * jax.lax.rsqrt(
+            jnp.sum(jnp.square(x), axis=axis, keepdims=True))
+    a = normalize(a)
+    b = normalize(b)
+    d = jnp.sum(a * b, axis=axis, keepdims=True)
+    p = t * jnp.arccos(d)
+    c = normalize(b - d * a)
+    return normalize(a * jnp.cos(p) + c * jnp.sin(p))
+
+
 def make_ppl_batch_fn(cfg: ModelConfig, gen_params, lpips_params,
                       space: str = "all", eval_plus: bool = True,
                       crop: bool = False, eps: float = 1e-4,
-                      batch: int = 64):
+                      batch: int = 64, use_slerp: bool = False,
+                      sampling: str = "end"):
     gen = Generator(cfg)
     lpips = LPIPS(net="vgg")
+    # weight trees ride through jit as ARGUMENTS, not closure constants
+    gen_params = jax.tree.map(jnp.asarray, gen_params)
+    lpips_params = jax.tree.map(jnp.asarray, lpips_params)
 
     @jax.jit
-    def ppl_batch(key: jax.Array) -> jax.Array:
-        kz, kp = jax.random.split(key)
+    def ppl_batch(gp, lpp, key: jax.Array) -> jax.Array:
+        kz, kp, kt = jax.random.split(key, 3)
         z = sample_tokens(kz, batch * 2, cfg.n_tokens, cfg.style_dim,
                           same=(space == "p"))
         p = sample_tokens(kp, batch * 2, cfg.n_tokens, cfg.param_dim,
                           same=(space == "z"))
         if eval_plus:
-            z, p = gen.apply(gen_params, z, p, method="map_codes")
+            z, p = gen.apply(gp, z, p, method="map_codes")
 
-        t = jnp.zeros(())  # end-sampling
+        # end-sampling (t=0) by default; 'full' draws t~U[0,1)
+        # (evaluate_query.py:167-171)
+        t = (jax.random.uniform(kt, ()) if sampling == "full"
+             else jnp.zeros(()))
 
-        def lerp_pairs(x):
+        def interp_pairs(x):
             a, b = x[0::2], x[1::2]
-            e0 = a + (b - a) * t
-            e1 = a + (b - a) * (t + eps)
+            if use_slerp:
+                e0 = slerp(a, b, t)
+                e1 = slerp(a, b, t + eps)
+            else:
+                e0 = a + (b - a) * t
+                e1 = a + (b - a) * (t + eps)
             return jnp.stack([e0, e1], 1).reshape(x.shape)
 
-        lz = lerp_pairs(z) if space in ("all", "z") else z
-        lp = lerp_pairs(p) if space in ("all", "p") else p
+        lz = interp_pairs(z) if space in ("all", "z") else z
+        lp = interp_pairs(p) if space in ("all", "p") else p
 
-        out = gen.apply(gen_params, lz, lp,
+        out = gen.apply(gp, lz, lp,
                         map_z=not eval_plus, map_p=not eval_plus)
         img = out.image.astype(jnp.float32)
         if crop:
@@ -69,19 +98,21 @@ def make_ppl_batch_fn(cfg: ModelConfig, gen_params, lpips_params,
         if img.shape[1] > 256:
             img = jax.image.resize(
                 img, (img.shape[0], 256, 256, 3), "bilinear")
-        d = lpips.apply(lpips_params, img[0::2], img[1::2])
+        d = lpips.apply(lpp, img[0::2], img[1::2])
         return d / (eps * eps)
 
-    return ppl_batch
+    return lambda key: ppl_batch(gen_params, lpips_params, key)
 
 
 def compute_ppl(cfg: ModelConfig, gen_params, lpips_params,
                 space: str = "all", eval_plus: bool = True,
                 crop: bool = False, n_samples: int = 10_000,
                 batch: int = 64, seed: int = 0,
+                use_slerp: bool = False, sampling: str = "end",
                 progress: Optional[Callable[[int], None]] = None) -> float:
     fn = make_ppl_batch_fn(cfg, gen_params, lpips_params, space,
-                           eval_plus, crop, batch=batch)
+                           eval_plus, crop, batch=batch,
+                           use_slerp=use_slerp, sampling=sampling)
     key = jax.random.PRNGKey(seed)
     dists = []
     done = 0

@@ -200,17 +200,21 @@ class PSPModel:
         (psp_new.py:137-178)."""
         from transeditor_tpu.utils.sampling import sample_zp
 
+        # weight tree rides through jit as an ARGUMENT, not a closure
+        # constant (numpy closures embed as HLO constants)
+        dec_params = jax.tree.map(jnp.asarray, dec_params)
+
         @jax.jit
-        def chunk_means(k):
+        def chunk_means(dp, k):
             z, p = sample_zp(k, chunk, self.cfg.n_tokens,
                              self.cfg.style_dim)
-            zp, pp = self.decoder.apply(dec_params, z, p,
+            zp, pp = self.decoder.apply(dp, z, p,
                                         method="map_codes")
             return jnp.sum(zp, 0), jnp.sum(pp, 0)
 
         zs = ps = 0.0
         n = n_samples // chunk
         for i in range(n):
-            a, b = chunk_means(jax.random.fold_in(key, i))
+            a, b = chunk_means(dec_params, jax.random.fold_in(key, i))
             zs, ps = zs + a, ps + b
         return zs / (n * chunk), ps / (n * chunk)

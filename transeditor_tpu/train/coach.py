@@ -85,6 +85,22 @@ def make_coach(cfg: ModelConfig, ccfg: CoachConfig, dec_params,
     encoder_eval = GradualStyleEncoder(train=False)
     lpips = LPIPS(net="alex")
 
+    # Frozen weight trees (decoder / LPIPS / ArcFace / latent avg) ride
+    # through the jitted steps as ARGUMENTS, not closure constants —
+    # numpy closures embed as HLO constants (hundreds of MB of compile
+    # payload for real checkpoints) and recompile per checkpoint.
+    id_fn = getattr(id_apply, "fn", None)
+    if id_fn is None and id_apply is not None:
+        id_fn = lambda _, a, b: id_apply(a, b)      # plain callable
+    frozen0 = {
+        "dec": jax.tree.map(jnp.asarray, dec_params),
+        "lpips": jax.tree.map(jnp.asarray, lpips_params),
+        "avg": (jax.tree.map(jnp.asarray, tuple(latent_avg))
+                if latent_avg is not None else ()),
+        "id": jax.tree.map(jnp.asarray, getattr(id_apply, "params", ())),
+    }
+    has_avg = latent_avg is not None
+
     if ccfg.optim_name == "ranger":
         opt = ranger_simple(ccfg.learning_rate)
     else:
@@ -100,7 +116,7 @@ def make_coach(cfg: ModelConfig, ccfg: CoachConfig, dec_params,
                           opt_state=opt.init(enc_params),
                           best_val_loss=jnp.asarray(jnp.inf))
 
-    def forward(enc_params, enc_stats, images, train: bool):
+    def forward(frozen, enc_params, enc_stats, images, train: bool):
         variables = {"params": enc_params, "batch_stats": enc_stats}
         if train:
             (z, p), new_model_state = encoder.apply(
@@ -108,21 +124,21 @@ def make_coach(cfg: ModelConfig, ccfg: CoachConfig, dec_params,
         else:
             z, p = encoder_eval.apply(variables, images)
             new_model_state = {"batch_stats": enc_stats}
-        if ccfg.start_from_latent_avg and latent_avg is not None:
-            z = z + latent_avg[0][None]
-            p = p + latent_avg[1][None]
-        img = psp.decode(dec_params, z, p,
+        if ccfg.start_from_latent_avg and has_avg:
+            z = z + frozen["avg"][0][None]
+            p = p + frozen["avg"][1][None]
+        img = psp.decode(frozen["dec"], z, p,
                          from_plus_space=ccfg.from_plus_space)
         return img, z, p, new_model_state["batch_stats"]
 
-    def losses(inversed, real, z, p):
+    def losses(frozen, inversed, real, z, p):
         f32 = jnp.float32
         inv = inversed.astype(f32)
         real = real.astype(f32)
         loss = jnp.zeros((), f32)
         logs = {}
-        if ccfg.id_lambda > 0 and id_apply is not None:
-            loss_id, improve = id_apply(inv, real)
+        if ccfg.id_lambda > 0 and id_fn is not None:
+            loss_id, improve = id_fn(frozen["id"], inv, real)
             logs["loss_id"] = loss_id
             logs["id_improve"] = improve
             loss = loss + ccfg.id_lambda * loss_id
@@ -131,11 +147,11 @@ def make_coach(cfg: ModelConfig, ccfg: CoachConfig, dec_params,
             logs["loss_l2"] = l2
             loss = loss + ccfg.l2_lambda * l2
         if ccfg.lpips_lambda > 0:
-            lp = jnp.mean(lpips.apply(lpips_params, inv, real))
+            lp = jnp.mean(lpips.apply(frozen["lpips"], inv, real))
             logs["loss_lpips"] = lp
             loss = loss + ccfg.lpips_lambda * lp
         if ccfg.lpips_lambda_crop > 0:
-            lp = jnp.mean(lpips.apply(lpips_params, face_crop(inv),
+            lp = jnp.mean(lpips.apply(frozen["lpips"], face_crop(inv),
                                       face_crop(real)))
             logs["loss_lpips_crop"] = lp
             loss = loss + ccfg.lpips_lambda_crop * lp
@@ -143,10 +159,10 @@ def make_coach(cfg: ModelConfig, ccfg: CoachConfig, dec_params,
             l2 = jnp.mean((face_crop(inv) - face_crop(real)) ** 2)
             logs["loss_l2_crop"] = l2
             loss = loss + ccfg.l2_lambda_crop * l2
-        if ccfg.w_norm_lambda > 0 and latent_avg is not None:
-            wn = (jnp.mean(jnp.linalg.norm(z - latent_avg[0][None],
+        if ccfg.w_norm_lambda > 0 and has_avg:
+            wn = (jnp.mean(jnp.linalg.norm(z - frozen["avg"][0][None],
                                            axis=-1))
-                  + jnp.mean(jnp.linalg.norm(p - latent_avg[1][None],
+                  + jnp.mean(jnp.linalg.norm(p - frozen["avg"][1][None],
                                              axis=-1)))
             logs["loss_w_norm"] = wn
             loss = loss + ccfg.w_norm_lambda * wn
@@ -154,11 +170,12 @@ def make_coach(cfg: ModelConfig, ccfg: CoachConfig, dec_params,
         return loss, logs
 
     @jax.jit
-    def train_step(state: CoachState, real: jax.Array):
+    def train_step(frozen, state: CoachState, real: jax.Array):
         def loss_fn(enc_params):
-            inv, z, p, new_stats = forward(enc_params, state.enc_stats,
+            inv, z, p, new_stats = forward(frozen, enc_params,
+                                           state.enc_stats,
                                            real, train=True)
-            loss, logs = losses(inv, real, z, p)
+            loss, logs = losses(frozen, inv, real, z, p)
             return loss, (logs, new_stats, inv)
 
         (_, (logs, new_stats, inv)), grads = jax.value_and_grad(
@@ -171,17 +188,20 @@ def make_coach(cfg: ModelConfig, ccfg: CoachConfig, dec_params,
             logs, inv
 
     @jax.jit
-    def fake_guidance_step(state: CoachState, key: jax.Array):
+    def fake_guidance_step(frozen, state: CoachState, key: jax.Array):
         """Sample (Z+,P+) -> decode -> re-encode -> latent MSE
         (coach_new.py:138-152,279-282)."""
         z, p = sample_zp(key, ccfg.batch_size, cfg.n_tokens, cfg.style_dim)
         gen = psp.decoder
-        z_plus, p_plus = gen.apply(dec_params, z, p, method="map_codes")
-        fake = psp.decode(dec_params, z_plus, p_plus, from_plus_space=True)
+        z_plus, p_plus = gen.apply(frozen["dec"], z, p,
+                                   method="map_codes")
+        fake = psp.decode(frozen["dec"], z_plus, p_plus,
+                          from_plus_space=True)
         fake = jax.lax.stop_gradient(fake)
 
         def loss_fn(enc_params):
-            _, zc, pc, new_stats = forward(enc_params, state.enc_stats,
+            _, zc, pc, new_stats = forward(frozen, enc_params,
+                                           state.enc_stats,
                                            fake, train=True)
             loss = (jnp.mean((z_plus - zc) ** 2)
                     + jnp.mean((p_plus - pc) ** 2))
@@ -196,28 +216,40 @@ def make_coach(cfg: ModelConfig, ccfg: CoachConfig, dec_params,
                              opt_state=opt_state), loss
 
     @jax.jit
-    def eval_step(state: CoachState, real: jax.Array):
-        inv, z, p, _ = forward(state.enc_params, state.enc_stats, real,
-                               train=False)
-        _, logs = losses(inv, real, z, p)
+    def eval_step(frozen, state: CoachState, real: jax.Array):
+        inv, z, p, _ = forward(frozen, state.enc_params, state.enc_stats,
+                               real, train=False)
+        _, logs = losses(frozen, inv, real, z, p)
         return logs, inv
 
-    return init_fn, train_step, eval_step, fake_guidance_step
+    return (init_fn,
+            lambda state, real: train_step(frozen0, state, real),
+            lambda state, real: eval_step(frozen0, state, real),
+            lambda state, key: fake_guidance_step(frozen0, state, key))
+
+
+class IdLoss:
+    """id_apply with its ArcFace weights exposed as (fn, params) so the
+    coach can route them through jit boundaries as arguments."""
+
+    def __init__(self, fn, params):
+        self.fn = fn                       # fn(params, inv, real)
+        self.params = params
+
+    def __call__(self, inversed, real):
+        return self.fn(self.params, inversed, real)
 
 
 def make_arcface_id_loss(arcface_apply, arcface_vars):
     """Build id_apply from an ArcFace embedder (id_loss.py:8-45)."""
 
-    def embed(img):
-        return arcface_apply(arcface_vars, resize_112(face_crop(img)))
-
-    def id_apply(inversed, real):
-        f_inv = embed(inversed)
-        f_real = embed(real)
+    def id_apply(av, inversed, real):
+        f_inv = arcface_apply(av, resize_112(face_crop(inversed)))
+        f_real = arcface_apply(av, resize_112(face_crop(real)))
         sim = jnp.sum(f_inv * f_real, axis=-1)
         # improvement vs. the identity similarity of real with itself
         loss = jnp.mean(1.0 - sim)
         improve = jnp.mean(sim - 1.0)
         return loss, improve
 
-    return id_apply
+    return IdLoss(id_apply, arcface_vars)
