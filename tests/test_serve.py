@@ -36,3 +36,74 @@ def test_engine_endpoints():
     boundary /= np.linalg.norm(boundary)
     strip = eng.edit_strip(zp[0], pp[0], boundary, space="p", steps=5)
     assert strip.shape == (5, 16, 16, 3)
+
+
+def test_request_coalescing():
+    """Concurrent decode requests merge into fewer device dispatches
+    and return per-request slices identical to serial calls."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    g = Generator(CFG)
+    z = jnp.zeros((1, 16, 32))
+    params = g.init(jax.random.PRNGKey(0), z, z)
+    eng = InferenceEngine(CFG, params, coalesce_window_ms=50.0)
+
+    rng = np.random.RandomState(3)
+    reqs = [(rng.randn(2, 16, 32).astype(np.float32),
+             rng.randn(2, 16, 32).astype(np.float32)) for _ in range(6)]
+    serial = [eng.decode(zc, pc) for zc, pc in reqs]
+    calls_before = eng._decode_batchers[True].calls
+
+    with ThreadPoolExecutor(8) as ex:
+        parallel = list(ex.map(lambda a: eng.decode(*a), reqs))
+    merged_calls = eng._decode_batchers[True].calls - calls_before
+
+    for s, q in zip(serial, parallel):
+        np.testing.assert_array_equal(s, q)
+    assert merged_calls < len(reqs), merged_calls
+
+
+def test_http_server_endpoints():
+    """Drive the real HTTP surface: /health, /sample, /decode."""
+    import http.client
+    import threading as th
+
+    from transeditor_tpu.serve import run_http_server
+
+    g = Generator(CFG)
+    z = jnp.zeros((1, 16, 32))
+    params = g.init(jax.random.PRNGKey(0), z, z)
+    eng = InferenceEngine(CFG, params)
+
+    import socket
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    th.Thread(target=run_http_server, args=(eng, "127.0.0.1", port),
+              daemon=True).start()
+
+    import json as js
+    import time as t
+    conn = None
+    for _ in range(50):
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port,
+                                              timeout=30)
+            conn.request("GET", "/health")
+            assert js.loads(conn.getresponse().read())["ok"]
+            break
+        except OSError:
+            t.sleep(0.1)
+    assert conn is not None
+
+    conn.request("POST", "/sample", js.dumps({"n": 2}))
+    out = js.loads(conn.getresponse().read())
+    img = np.asarray(out["images"], np.uint8)
+    assert img.shape == (2, 16, 16, 3)
+
+    conn.request("POST", "/decode",
+                 js.dumps({"z": out["z_plus"], "p": out["p_plus"]}))
+    dec = np.asarray(js.loads(conn.getresponse().read())["images"],
+                     np.uint8)
+    np.testing.assert_allclose(dec.astype(int), img.astype(int), atol=1)

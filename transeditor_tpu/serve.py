@@ -11,16 +11,27 @@ user-facing operations as jit-cached endpoints with request coalescing:
 
 Design: one compiled program per (endpoint, padded batch); incoming
 requests pad to the next power-of-two batch so a handful of programs
-serves every request size.  The HTTP front (stdlib, JSON/npy) is a thin
-adapter — the engine is the library API.
+serves every request size.  Concurrent requests are COALESCED: a
+micro-batching queue (2 ms window) merges simultaneous sample/decode
+calls into one device program, so throughput under load approaches the
+generator's batched img/s instead of 1 request = 1 dispatch.  The HTTP
+front (stdlib ThreadingHTTPServer, JSON) is a thin adapter — the
+engine is the library API.
+
+Run directly:
+  python -m transeditor_tpu.serve --ckpt 790000.pt --port 8000
+  python -m transeditor_tpu.serve --orbax_dir out/run/checkpoint ...
 """
 
 from __future__ import annotations
 
 import functools
 import json
+import queue
 import threading
-from typing import Dict, Optional, Tuple
+import time
+from concurrent.futures import Future
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,13 +51,67 @@ def _pad_pow2(n: int, lo: int = 1, hi: int = 512) -> int:
     return p
 
 
+class _Batcher:
+    """Coalesce concurrent requests into one device call.
+
+    ``run(items) -> [result_per_item]`` executes a merged batch; the
+    worker drains the queue for ``window_ms`` after the first request
+    (or until ``max_items``) before running."""
+
+    def __init__(self, run, max_items: int = 64, window_ms: float = 2.0):
+        self._run = run
+        self._q: queue.Queue = queue.Queue()
+        self._max = max_items
+        self._window = window_ms / 1e3
+        self.calls = 0                    # device dispatches (for tests)
+        t = threading.Thread(target=self._loop, daemon=True)
+        t.start()
+
+    def submit(self, item) -> Future:
+        f: Future = Future()
+        self._q.put((item, f))
+        return f
+
+    def _loop(self):
+        while True:
+            batch = [self._q.get()]
+            deadline = time.monotonic() + self._window
+            while len(batch) < self._max:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=left))
+                except queue.Empty:
+                    break
+            try:
+                self.calls += 1
+                results = self._run([b[0] for b in batch])
+                for (_, fut), r in zip(batch, results):
+                    fut.set_result(r)
+            except Exception as e:
+                for _, fut in batch:
+                    fut.set_exception(e)
+
+
 class InferenceEngine:
-    def __init__(self, cfg: ModelConfig, gen_params, seed: int = 0):
+    def __init__(self, cfg: ModelConfig, gen_params, seed: int = 0,
+                 coalesce_window_ms: float = 2.0):
         self.cfg = cfg
         self.gen = Generator(cfg)
-        self.params = gen_params
+        # device arrays: jit sees the weights as arguments, never as
+        # closure constants
+        self.params = jax.tree.map(jnp.asarray, gen_params)
         self._key = jax.random.PRNGKey(seed)
         self._lock = threading.Lock()
+        self._sample_batcher = _Batcher(self._run_samples,
+                                        window_ms=coalesce_window_ms)
+        self._decode_batchers = {
+            True: _Batcher(lambda items: self._run_decodes(items, True),
+                           window_ms=coalesce_window_ms),
+            False: _Batcher(lambda items: self._run_decodes(items, False),
+                            window_ms=coalesce_window_ms),
+        }
 
     def _next_key(self):
         with self._lock:
@@ -72,25 +137,52 @@ class InferenceEngine:
             return out.image
         return f
 
+    # ----------------------------------------------------- batched runs
+
+    def _run_samples(self, counts: List[int]):
+        total = _pad_pow2(sum(counts))
+        img, zp, pp = self._sample_fn(total)(self.params,
+                                             self._next_key())
+        img = to_uint8(np.asarray(img, np.float32))
+        zp, pp = np.asarray(zp), np.asarray(pp)
+        out, start = [], 0
+        for n in counts:
+            out.append((img[start:start + n], zp[start:start + n],
+                        pp[start:start + n]))
+            start += n
+        return out
+
+    def _run_decodes(self, items: List[Tuple[np.ndarray, np.ndarray]],
+                     plus_space: bool):
+        counts = [z.shape[0] for z, _ in items]
+        n = sum(counts)
+        b = _pad_pow2(n)
+        t, d = items[0][0].shape[-2:]
+        zp = np.zeros((b, t, d), np.float32)
+        pp = np.zeros((b, t, d), np.float32)
+        zp[:n] = np.concatenate([z for z, _ in items])
+        pp[:n] = np.concatenate([p for _, p in items])
+        img = self._decode_fn(b, plus_space)(
+            self.params, jnp.asarray(zp), jnp.asarray(pp))
+        img = to_uint8(np.asarray(img[:n], np.float32))
+        out, start = [], 0
+        for c in counts:
+            out.append(img[start:start + c])
+            start += c
+        return out
+
     # ------------------------------------------------------------- API
 
     def sample(self, n: int):
-        """Returns (uint8 images [n,H,W,3], z_plus, p_plus)."""
-        b = _pad_pow2(n)
-        img, zp, pp = self._sample_fn(b)(self.params, self._next_key())
-        return (to_uint8(np.asarray(img[:n], np.float32)),
-                np.asarray(zp[:n]), np.asarray(pp[:n]))
+        """Returns (uint8 images [n,H,W,3], z_plus, p_plus).
+        Concurrent callers are coalesced into one device call."""
+        return self._sample_batcher.submit(n).result()
 
     def decode(self, z: np.ndarray, p: np.ndarray,
                plus_space: bool = True) -> np.ndarray:
-        n = z.shape[0]
-        b = _pad_pow2(n)
-        zp = np.zeros((b, *z.shape[1:]), np.float32)
-        pp = np.zeros((b, *p.shape[1:]), np.float32)
-        zp[:n], pp[:n] = z, p
-        img = self._decode_fn(b, plus_space)(
-            self.params, jnp.asarray(zp), jnp.asarray(pp))
-        return to_uint8(np.asarray(img[:n], np.float32))
+        return self._decode_batchers[bool(plus_space)].submit(
+            (np.asarray(z, np.float32), np.asarray(p, np.float32))
+        ).result()
 
     def edit_strip(self, z_plus: np.ndarray, p_plus: np.ndarray,
                    boundary: np.ndarray, space: str = "p",
@@ -118,12 +210,28 @@ def run_http_server(engine: InferenceEngine, host: str = "127.0.0.1",
     POST /sample   {"n": 4}            -> {"images": [...u8 nested...]}
     POST /decode   {"z": [...], "p": [...], "plus_space": true}
     """
-    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/health":
+                body = json.dumps({"ok": True,
+                                   "size": engine.cfg.size}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
         def do_POST(self):
             length = int(self.headers.get("Content-Length", 0))
-            req = json.loads(self.rfile.read(length) or "{}")
+            try:
+                req = json.loads(self.rfile.read(length) or "{}")
+            except ValueError:
+                self.send_error(400, "body must be JSON")
+                return
             try:
                 if self.path == "/sample":
                     img, zp, pp = engine.sample(int(req.get("n", 1)))
@@ -134,6 +242,16 @@ def run_http_server(engine: InferenceEngine, host: str = "127.0.0.1",
                         np.asarray(req["z"], np.float32),
                         np.asarray(req["p"], np.float32),
                         bool(req.get("plus_space", True)))
+                    resp = {"images": img.tolist()}
+                elif self.path == "/edit_strip":
+                    img = engine.edit_strip(
+                        np.asarray(req["z_plus"], np.float32),
+                        np.asarray(req["p_plus"], np.float32),
+                        np.asarray(req["boundary"], np.float32),
+                        space=req.get("space", "p"),
+                        start=float(req.get("start", -3.0)),
+                        end=float(req.get("end", 3.0)),
+                        steps=int(req.get("steps", 8)))
                     resp = {"images": img.tolist()}
                 else:
                     self.send_error(404)
@@ -150,4 +268,50 @@ def run_http_server(engine: InferenceEngine, host: str = "127.0.0.1",
         def log_message(self, *a):
             pass
 
-    HTTPServer((host, port), Handler).serve_forever()
+    server = ThreadingHTTPServer((host, port), Handler)
+    print(f"serving on http://{host}:{port}", flush=True)
+    server.serve_forever()
+
+
+def engine_from_checkpoint(cfg: ModelConfig, ckpt: Optional[str] = None,
+                           orbax_dir: Optional[str] = None,
+                           step: Optional[int] = None,
+                           seed: int = 0) -> InferenceEngine:
+    """Build an engine from a reference ``.pt`` or an orbax train-state
+    dir (uses g_ema)."""
+    if (ckpt is None) == (orbax_dir is None):
+        raise ValueError("pass exactly one of ckpt / orbax_dir")
+    if ckpt:
+        from transeditor_tpu.io.checkpoint import load_reference_generator
+        params = load_reference_generator(ckpt, cfg)
+    else:
+        from transeditor_tpu.io.checkpoint import restore_train_state
+        from transeditor_tpu.train.gan import TrainConfig, init_state
+        template = init_state(cfg, TrainConfig(), jax.random.PRNGKey(0))
+        state, got = restore_train_state(orbax_dir, template, step)
+        print(f"serving g_ema from step {got}")
+        params = {"params": state.g_ema}
+    return InferenceEngine(cfg, params, seed=seed)
+
+
+def main(argv=None):
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--orbax_dir", type=str, default=None)
+    p.add_argument("--step", type=int, default=None)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--num_trans", type=int, default=8)
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    args = p.parse_args(argv)
+    cfg = ModelConfig(size=args.size, n_trans=args.num_trans,
+                      dtype=args.dtype)
+    engine = engine_from_checkpoint(cfg, args.ckpt, args.orbax_dir,
+                                    args.step)
+    run_http_server(engine, args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()
