@@ -272,6 +272,7 @@ struct Loader {
   bool shuffle = true;
   size_t frame_bytes = 0;
 
+  int n_workers = 1;
   std::vector<std::thread> workers;
   std::mutex mu;
   std::condition_variable cv_full, cv_empty;
@@ -302,11 +303,17 @@ static long lmdb_length(lmdb::Env* env) {
   return long(env->main_db.entries) - 1;
 }
 
-static void loader_worker(Loader* L) {
-  std::mt19937_64 rng(L->seed + L->host_index);
+// Worker w of n_workers decodes its own sub-shard of the host's index
+// shard (stride host_count * n_workers), so concurrent workers never
+// duplicate samples within an epoch.  LMDB reads are lock-free: the
+// engine is a stateless B-tree walk over a read-only mmap.
+static void loader_worker(Loader* L, int w) {
+  std::mt19937_64 rng(L->seed + L->host_index * 1000 + w);
   std::vector<long> order;
-  for (long i = L->host_index; i < L->n; i += L->host_count)
+  for (long i = L->host_index + long(L->host_count) * w; i < L->n;
+       i += L->host_count * L->n_workers)
     order.push_back(i);
+  if (order.empty()) return;  // more workers than samples in the shard
   size_t pos = order.size();
 
   char key[64];
@@ -378,7 +385,7 @@ int teio_jpeg_decode(const uint8_t* buf, long len, uint8_t* out,
 
 void* teio_loader_create(const char* lmdb_path, int resolution, int batch,
                          int prefetch, uint64_t seed, int shuffle,
-                         long host_index, long host_count) {
+                         long host_index, long host_count, int n_workers) {
   lmdb::Env* env = lmdb::env_open(lmdb_path);
   if (!env) return nullptr;
   Loader* L = new Loader();
@@ -390,10 +397,12 @@ void* teio_loader_create(const char* lmdb_path, int resolution, int batch,
   L->shuffle = shuffle != 0;
   L->host_index = host_index;
   L->host_count = host_count;
+  L->n_workers = n_workers > 0 ? n_workers : 1;
   L->n = lmdb_length(env);
   if (L->n <= 0) { delete L; return nullptr; }
   L->frame_bytes = size_t(batch) * resolution * resolution * 3;
-  L->workers.emplace_back(loader_worker, L);
+  for (int w = 0; w < L->n_workers; ++w)
+    L->workers.emplace_back(loader_worker, L, w);
   return L;
 }
 

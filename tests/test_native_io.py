@@ -99,3 +99,20 @@ def test_loader_host_sharding(tmp_path):
     vals = np.round((b[:, 0, 0, 0] + 1) * 127.5 / 20).astype(int)
     assert set(vals.tolist()) <= {1, 3, 5, 7, 9}
     loader.close()
+
+
+def test_loader_multiworker_uint8(tmp_path):
+    imgs = [np.full((8, 8, 3), 16 * i, np.uint8) for i in range(12)]
+    path = str(tmp_path / "mwdb")
+    write_image_dataset(path, [_jpeg_bytes(im) for im in imgs], 8)
+    loader = NativeLMDBLoader(path, batch=4, resolution=8, seed=0,
+                              shuffle=True, flip=False, workers=3,
+                              as_uint8=True)
+    seen = set()
+    for _ in range(9):
+        b = next(loader)
+        assert b.dtype == np.uint8 and b.shape == (4, 8, 8, 3)
+        seen.update(np.round(b[:, 0, 0, 0] / 16.0).astype(int).tolist())
+    # three workers cover the full dataset between them
+    assert seen == set(range(12))
+    loader.close()

@@ -102,3 +102,44 @@ def test_coach_train_step():
 
     logs, _ = eval_step(state3, real)
     assert np.isfinite(float(logs["loss"]))
+
+
+@pytest.mark.slow
+def test_coach_sharded_step_8dev():
+    """Coach train step with the batch sharded over an 8-device data
+    mesh — the DDP analogue for encoder training.  Under GSPMD the
+    encoder's BatchNorm reductions are automatically GLOBAL over the
+    sharded batch axis (torch DDP would need SyncBN for this), so the
+    sharded step is numerically the single-device step."""
+    from transeditor_tpu.parallel import create_mesh, shard_batch
+
+    assert len(jax.devices()) == 8
+    cfg = ModelConfig(size=64, max_channels=32, n_trans=1)
+    psp = PSPModel.create(cfg)
+    dec_params = psp.decoder.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 16, 512)), jnp.zeros((1, 16, 512)))
+    lpips = LPIPS(net="alex")
+    x0 = jnp.zeros((1, 64, 64, 3))
+    lpips_params = lpips.init(jax.random.PRNGKey(1), x0, x0)
+
+    ccfg = CoachConfig(batch_size=8, id_lambda=0.0, lpips_lambda=0.8,
+                      l2_lambda=1.0)
+    init_fn, train_step, eval_step, _ = make_coach(
+        cfg, ccfg, dec_params, lpips_params)
+    state = init_fn(jax.random.PRNGKey(2))
+
+    real = jax.random.uniform(jax.random.PRNGKey(3), (8, 64, 64, 3),
+                              minval=-1, maxval=1)
+    ref_state, ref_logs, _ = train_step(state, real)
+
+    mesh = create_mesh(n_data=8, n_model=1)
+    sharded_state, logs, inv = train_step(state, shard_batch(real, mesh))
+    assert inv.shape == (8, 64, 64, 3)
+    np.testing.assert_allclose(float(logs["loss"]),
+                               float(ref_logs["loss"]), rtol=2e-3)
+    # BN batch stats equal the single-device (global-batch) stats
+    ref_leaf = jax.tree.leaves(ref_state.enc_stats)[0]
+    got_leaf = jax.tree.leaves(sharded_state.enc_stats)[0]
+    np.testing.assert_allclose(np.asarray(got_leaf), np.asarray(ref_leaf),
+                               rtol=2e-3, atol=2e-5)

@@ -96,6 +96,12 @@ def main(argv=None):
     train_iter = make_train_iterator(train_src, ccfg.batch_size, cfg.size)
     os.makedirs(args.exp_dir, exist_ok=True)
 
+    # TensorBoard + stdout scalars (reference Coach board_interval
+    # logging, coach_new.py:103-106,322-324); only materialized on the
+    # log cadence so the hot loop never host-syncs.
+    from transeditor_tpu.train.loop import MetricLogger
+    logger = MetricLogger(os.path.join(args.exp_dir, "logs"), log_every=50)
+
     key = jax.random.PRNGKey(3)
     best_val = float("inf")
     for step in range(ccfg.max_steps):
@@ -104,9 +110,7 @@ def main(argv=None):
         if ccfg.use_fake_lambda > 0 and step % ccfg.fake_every == 0:
             state, fake_loss = fake_step(state, jax.random.fold_in(key, step))
         if step % 50 == 0:
-            print(f"[{step}] " + "; ".join(
-                f"{k}: {float(v):.4f}" for k, v in sorted(logs.items())),
-                flush=True)
+            logger.log(step, logs)
         if step % ccfg.val_interval == 0:
             val_losses = []
             for i in range(0, min(len(val_src), 64), ccfg.batch_size):
@@ -117,7 +121,7 @@ def main(argv=None):
                 vlogs, vinv = eval_step(state, vimgs)
                 val_losses.append(float(vlogs["loss"]))
             val_loss = float(np.mean(val_losses))
-            print(f"[{step}] val loss {val_loss:.4f}", flush=True)
+            logger.log(step, {"val_loss": val_loss})
             grid = make_grid(np.concatenate(
                 [np.asarray(vimgs, np.float32)[:4],
                  np.asarray(vinv, np.float32)[:4]]), nrow=4)

@@ -90,8 +90,11 @@ def main(argv=None):
     cfg, tcfg = build_configs(args)
     if args.lmdb or os.path.exists(os.path.join(args.path, "data.mdb")):
         from transeditor_tpu.data.native import NativeLMDBLoader
+        # uint8 frames + on-device normalization; decode fans out over
+        # the host cores
         data = NativeLMDBLoader(args.path, tcfg.batch_size, cfg.size,
-                                seed=tcfg.seed)
+                                seed=tcfg.seed, as_uint8=True,
+                                workers=max(1, (os.cpu_count() or 2) - 1))
     else:
         source = ImageFolderSource(args.path)
         # uint8 batches; the train step normalizes on device

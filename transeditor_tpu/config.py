@@ -48,6 +48,10 @@ class ModelConfig:
     # compute dtype for the synthesis/discriminator path; params are
     # always float32.  bfloat16 keeps the MXU at full rate.
     dtype: str = "float32"
+    # opt-in int8 MXU path for the synthesis 3x3 modulated convs
+    # (ops/quant.py) — inference-only speed mode; None == full
+    # precision.  ToRGB / mapping / attention stay in compute dtype.
+    quantize: str | None = None
 
     # ---- derived invariants (reference train_spatial_query.py:430-432)
 
@@ -95,6 +99,8 @@ class ModelConfig:
             raise ValueError("pixel_norm_axis must be 'feature' or 'token'")
         if self.n_tokens % self.num_region:
             raise ValueError("n_tokens must be divisible by num_region")
+        if self.quantize not in (None, "int8"):
+            raise ValueError("quantize must be None or 'int8'")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -79,7 +79,8 @@ class Generator(nn.Module):
         ch = cfg.channels
         self.conv1 = StyledConv(
             ch[4], 3, cfg.style_dim, blur_kernel=cfg.blur_kernel,
-            noise_injection=cfg.layer_noise_injection, dtype=dtype)
+            noise_injection=cfg.layer_noise_injection, dtype=dtype,
+            quantize=cfg.quantize)
         self.to_rgb1 = ToRGB(cfg.style_dim, upsample=False, dtype=dtype)
 
         convs, to_rgbs = [], []
@@ -89,11 +90,11 @@ class Generator(nn.Module):
                 out_ch, 3, cfg.style_dim, upsample=True,
                 blur_kernel=cfg.blur_kernel,
                 noise_injection=cfg.layer_noise_injection, dtype=dtype,
-                name=f"conv_up_{i}"))
+                quantize=cfg.quantize, name=f"conv_up_{i}"))
             convs.append(StyledConv(
                 out_ch, 3, cfg.style_dim, blur_kernel=cfg.blur_kernel,
                 noise_injection=cfg.layer_noise_injection, dtype=dtype,
-                name=f"conv_{i}"))
+                quantize=cfg.quantize, name=f"conv_{i}"))
             to_rgbs.append(ToRGB(cfg.style_dim, dtype=dtype,
                                  name=f"to_rgb_{i}"))
         self.convs = convs

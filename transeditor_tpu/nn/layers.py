@@ -178,6 +178,7 @@ class ModulatedConv2d(nn.Module):
     downsample: bool = False
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
     dtype: jnp.dtype = jnp.float32
+    quantize: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, style: jax.Array,
@@ -193,12 +194,12 @@ class ModulatedConv2d(nn.Module):
             return modulated_conv2d_up_fused(
                 x.astype(self.dtype), weight, s, bias=fused_bias,
                 activate=fused_act, demodulate=self.demodulate,
-                blur_kernel=self.blur_kernel)
+                blur_kernel=self.blur_kernel, quantize=self.quantize)
         out = modulated_conv2d(
             x.astype(self.dtype), weight, s,
             demodulate=self.demodulate,
             upsample=False, downsample=self.downsample,
-            blur_kernel=self.blur_kernel)
+            blur_kernel=self.blur_kernel, quantize=self.quantize)
         if fused_act:
             out = fused_leaky_relu(out, fused_bias)
         elif fused_bias is not None:
@@ -220,6 +221,7 @@ class StyledConv(nn.Module):
     demodulate: bool = True
     noise_injection: bool = False
     dtype: jnp.dtype = jnp.float32
+    quantize: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, style, noise=None):
@@ -227,7 +229,8 @@ class StyledConv(nn.Module):
         conv = ModulatedConv2d(
             self.features, self.kernel_size, self.style_dim,
             demodulate=self.demodulate, upsample=self.upsample,
-            blur_kernel=self.blur_kernel, dtype=self.dtype, name="conv")
+            blur_kernel=self.blur_kernel, dtype=self.dtype,
+            quantize=self.quantize, name="conv")
         if not self.noise_injection:
             # bias + lrelu fused into the conv epilogue (one Pallas pass
             # with the blur on the TPU upsample path)

@@ -66,6 +66,7 @@ def modulated_conv2d_up_fused(
     demodulate: bool = True,
     blur_kernel: Sequence[int] = (1, 3, 3, 1),
     eps: float = 1e-8,
+    quantize: Optional[str] = None,
 ) -> jax.Array:
     """Upsampling modulated conv with the post-conv chain
     (blur -> demod -> bias -> leaky) fused into ONE Pallas pass when the
@@ -89,9 +90,15 @@ def modulated_conv2d_up_fused(
         demod = lax.rsqrt((scale * scale) * ((style32 * style32) @ wsq)
                           + eps).astype(dtype)
 
-    w = (w32 * scale).astype(dtype)
-    xs = x * style32.astype(dtype)[:, None, None, :]
-    out = _conv(xs, w, stride=2, transpose=True)
+    if quantize == "int8":
+        from transeditor_tpu.ops.quant import quantized_conv
+        xs = x * style32.astype(dtype)[:, None, None, :]
+        out = quantized_conv(xs, w32 * scale, dtype, stride=2,
+                             transpose=True)
+    else:
+        w = (w32 * scale).astype(dtype)
+        xs = x * style32.astype(dtype)[:, None, None, :]
+        out = _conv(xs, w, stride=2, transpose=True)
 
     k = len(blur_kernel)
     p = (k - 2) - (kh - 1)
@@ -124,6 +131,7 @@ def modulated_conv2d(
     downsample: bool = False,
     blur_kernel: Sequence[int] = (1, 3, 3, 1),
     eps: float = 1e-8,
+    quantize: Optional[str] = None,
 ) -> jax.Array:
     """Modulated (optionally demodulated / resampling) conv.
 
@@ -159,8 +167,15 @@ def modulated_conv2d(
     w = (w32 * scale).astype(dtype)
     xs = x * style.astype(dtype)[:, None, None, :]
 
+    if quantize == "int8":
+        from transeditor_tpu.ops.quant import quantized_conv
+        ws = w32 * scale
+        conv = lambda inp, **kw: quantized_conv(inp, ws, dtype, **kw)
+    else:
+        conv = lambda inp, **kw: _conv(inp, w, **kw)
+
     if upsample:
-        out = _conv(xs, w, stride=2, transpose=True)
+        out = conv(xs, stride=2, transpose=True)
         if demodulate:
             out = out * demod[:, None, None, :]
         k = len(blur_kernel)
@@ -172,11 +187,11 @@ def modulated_conv2d(
         p = (k - 2) + (kh - 1)
         pad = ((p + 1) // 2, p // 2)
         xb = blur(xs, blur_kernel, pad=pad)
-        out = _conv(xb, w, stride=2, padding=0)
+        out = conv(xb, stride=2, padding=0)
         if demodulate:
             out = out * demod[:, None, None, :]
     else:
-        out = _conv(xs, w, padding=kh // 2)
+        out = conv(xs, padding=kh // 2)
         if demodulate:
             out = out * demod[:, None, None, :]
 
