@@ -21,6 +21,7 @@ program; loss traces are scan outputs.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Optional, Tuple
 
@@ -128,39 +129,19 @@ def estimate_latent_stats(cfg: ModelConfig, gen_params, key: jax.Array,
     return z_mean, z_std, p_mean
 
 
-def project(cfg: ModelConfig, gen_params, lpips_params,
-            target_images: jax.Array, pcfg: ProjectorConfig = ProjectorConfig(),
-            key: Optional[jax.Array] = None, stats=None):
-    """Invert a batch of target images ([B,H,W,3] in [-1,1]).
+@functools.lru_cache(maxsize=8)
+def _projector_programs(cfg: ModelConfig, pcfg: ProjectorConfig):
+    """Jitted (run_chunk, final_decode, opt) for a (cfg, pcfg) pair.
 
-    Returns dict with z_plus, p_plus, (noises), images, and loss traces.
+    Cached at module level so REPEATED ``project()`` calls (batch after
+    batch of real images) reuse the compiled chunk executable — the
+    persistent compile cache is unusable on the axon backend, and a
+    fresh jit per call costs ~40-50 s of recompilation per image batch
+    (measured; the marginal step itself is ~7 ms at batch 4).  The
+    varying pieces (z_std, the fold-in key) enter as jit ARGUMENTS.
     """
-    key = key if key is not None else jax.random.PRNGKey(0)
-    k_stats, k_noise, k_opt = jax.random.split(key, 3)
-    if stats is None:
-        stats = estimate_latent_stats(cfg, gen_params, k_stats,
-                                      truncation=pcfg.truncation)
-    z_mean, z_std, p_mean = stats
-
     gen = Generator(cfg)
     lpips = LPIPS(net="vgg")
-    # weight trees ride through jit as ARGUMENTS, not closure constants
-    gen_params = jax.tree.map(jnp.asarray, gen_params)
-    lpips_params = jax.tree.map(jnp.asarray, lpips_params)
-    target_images = jnp.asarray(target_images)
-    batch = target_images.shape[0]
-
-    z0 = jnp.broadcast_to(z_mean[None], (batch, *z_mean.shape))
-    p0 = jnp.broadcast_to(p_mean[None], (batch, *p_mean.shape))
-    noise_shapes = make_noise_shapes(cfg, batch)
-    noises0 = [jax.random.normal(jax.random.fold_in(k_noise, i), s)
-               for i, s in enumerate(noise_shapes)]
-
-    if pcfg.optimize_noise:
-        opt_vars0 = {"z": z0, "p": p0, "noises": noises0}
-    else:
-        opt_vars0 = {"z": z0, "p": p0}
-
     schedule = lambda step: lr_schedule(step, pcfg.steps, pcfg.lr,
                                         pcfg.lr_rampdown, pcfg.lr_rampup)
     opt = optax.adam(schedule)
@@ -175,7 +156,7 @@ def project(cfg: ModelConfig, gen_params, lpips_params,
             img = img.reshape(b, h // f, f, w // f, f, c).mean(axis=(2, 4))
         return img
 
-    def loss_fn(gp, lpp, tgt, opt_vars, step, kstep):
+    def loss_fn(gp, lpp, tgt, opt_vars, step, kstep, z_std):
         z = opt_vars["z"]
         if not pcfg.optimize_noise:
             noises = None
@@ -195,21 +176,15 @@ def project(cfg: ModelConfig, gen_params, lpips_params,
             total = total + pcfg.noise_regularize * n_loss
         return total, (p_loss, n_loss, mse)
 
-    # NOTE: ONE scan over all 10k steps de-optimizes badly on TPU
-    # (measured 295 ms/step vs 22 ms/step in <=50-step chunks — a
-    # length-dependent XLA/Mosaic pathology), so the optimisation runs
-    # as a host loop of jitted fixed-size scan chunks; optax's count
-    # state keeps the LR schedule globally consistent across chunks.
-    chunk = min(50, pcfg.steps)
-
     @jax.jit
-    def run_chunk(gp, lpp, tgt, opt_vars, opt_state, steps_slice):
+    def run_chunk(gp, lpp, tgt, opt_vars, opt_state, steps_slice,
+                  k_opt, z_std):
         def step_fn(carry, step):
             opt_vars, opt_state = carry
             kstep = jax.random.fold_in(k_opt, step)
             (_, (p_loss, n_loss, mse)), grads = jax.value_and_grad(
                 loss_fn, argnums=3, has_aux=True)(
-                    gp, lpp, tgt, opt_vars, step, kstep)
+                    gp, lpp, tgt, opt_vars, step, kstep, z_std)
             updates, opt_state = opt.update(grads, opt_state, opt_vars)
             opt_vars = optax.apply_updates(opt_vars, updates)
             if pcfg.optimize_noise:
@@ -226,6 +201,49 @@ def project(cfg: ModelConfig, gen_params, lpips_params,
         noises = opt_vars.get("noises") if pcfg.optimize_noise else None
         return decode(gp, opt_vars["z"], opt_vars["p"], noises)
 
+    return run_chunk, final_decode, opt
+
+
+def project(cfg: ModelConfig, gen_params, lpips_params,
+            target_images: jax.Array, pcfg: ProjectorConfig = ProjectorConfig(),
+            key: Optional[jax.Array] = None, stats=None):
+    """Invert a batch of target images ([B,H,W,3] in [-1,1]).
+
+    Returns dict with z_plus, p_plus, (noises), images, and loss traces.
+    """
+    key = key if key is not None else jax.random.PRNGKey(0)
+    k_stats, k_noise, k_opt = jax.random.split(key, 3)
+    if stats is None:
+        stats = estimate_latent_stats(cfg, gen_params, k_stats,
+                                      truncation=pcfg.truncation)
+    z_mean, z_std, p_mean = stats
+
+    # weight trees ride through jit as ARGUMENTS, not closure constants
+    gen_params = jax.tree.map(jnp.asarray, gen_params)
+    lpips_params = jax.tree.map(jnp.asarray, lpips_params)
+    target_images = jnp.asarray(target_images)
+    batch = target_images.shape[0]
+
+    z0 = jnp.broadcast_to(z_mean[None], (batch, *z_mean.shape))
+    p0 = jnp.broadcast_to(p_mean[None], (batch, *p_mean.shape))
+    noise_shapes = make_noise_shapes(cfg, batch)
+    noises0 = [jax.random.normal(jax.random.fold_in(k_noise, i), s)
+               for i, s in enumerate(noise_shapes)]
+
+    if pcfg.optimize_noise:
+        opt_vars0 = {"z": z0, "p": p0, "noises": noises0}
+    else:
+        opt_vars0 = {"z": z0, "p": p0}
+
+    # NOTE: ONE scan over all 10k steps de-optimizes badly on TPU
+    # (measured 295 ms/step vs 22 ms/step in <=50-step chunks — a
+    # length-dependent XLA/Mosaic pathology), so the optimisation runs
+    # as a host loop of jitted fixed-size scan chunks; optax's count
+    # state keeps the LR schedule globally consistent across chunks.
+    chunk = min(50, pcfg.steps)
+    run_chunk, final_decode, opt = _projector_programs(cfg, pcfg)
+    z_std = jnp.asarray(z_std)
+
     opt_vars = opt_vars0
     opt_state = opt.init(opt_vars0)
     traces_chunks = []
@@ -233,7 +251,8 @@ def project(cfg: ModelConfig, gen_params, lpips_params,
         n = min(chunk, pcfg.steps - start)   # tail chunk compiles once
         opt_vars, opt_state, tr = run_chunk(
             gen_params, lpips_params, target_images,
-            opt_vars, opt_state, jnp.arange(start, start + n))
+            opt_vars, opt_state, jnp.arange(start, start + n),
+            k_opt, z_std)
         traces_chunks.append(tr)
     traces = tuple(jnp.concatenate([t[i] for t in traces_chunks])
                    for i in range(3))
