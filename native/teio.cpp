@@ -17,6 +17,7 @@
 #include <cstddef>
 #include <cstdio>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 #include <vector>
@@ -260,6 +261,44 @@ static int jpeg_decode_rgb(const uint8_t* buf, size_t len, uint8_t* out,
   return 0;
 }
 
+// encodes RGB8 [h, w, 3] into out (capacity cap); returns bytes
+// written or <0 (serving / sweep writers: PIL encode on the 1-core
+// host is the bottleneck for JSON-free image responses)
+static long jpeg_encode_rgb(const uint8_t* rgb, int w, int h, int quality,
+                            uint8_t* out, size_t cap) {
+  jpeg_compress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  uint8_t* mem = nullptr;
+  unsigned long mem_size = 0;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_compress(&cinfo);
+    if (mem) free(mem);
+    return -1;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, &mem, &mem_size);
+  cinfo.image_width = w;
+  cinfo.image_height = h;
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_RGB;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  jpeg_start_compress(&cinfo, TRUE);
+  while (cinfo.next_scanline < cinfo.image_height) {
+    const uint8_t* row = rgb + size_t(cinfo.next_scanline) * w * 3;
+    uint8_t* rows[1] = {const_cast<uint8_t*>(row)};
+    jpeg_write_scanlines(&cinfo, rows, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  long n = long(mem_size);
+  if (size_t(n) <= cap) memcpy(out, mem, n);
+  free(mem);
+  return size_t(n) <= cap ? n : -long(n);  // -needed_size if too small
+}
+
 // ---------------------------------------------------------------------------
 // batch loader
 
@@ -381,6 +420,11 @@ long teio_lmdb_get(void* env, const uint8_t* key, long klen,
 int teio_jpeg_decode(const uint8_t* buf, long len, uint8_t* out,
                      int w, int h) {
   return jpeg_decode_rgb(buf, size_t(len), out, w, h);
+}
+
+long teio_jpeg_encode(const uint8_t* rgb, int w, int h, int quality,
+                      uint8_t* out, long cap) {
+  return jpeg_encode_rgb(rgb, w, h, quality, out, size_t(cap));
 }
 
 void* teio_loader_create(const char* lmdb_path, int resolution, int batch,

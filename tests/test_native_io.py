@@ -116,3 +116,13 @@ def test_loader_multiworker_uint8(tmp_path):
     # three workers cover the full dataset between them
     assert seen == set(range(12))
     loader.close()
+
+
+def test_jpeg_encode_roundtrip():
+    from transeditor_tpu.data.native import encode_jpeg
+    y, x = np.mgrid[0:64, 0:64]
+    img = np.stack([y * 4, x * 4, (y + x) * 2], -1).astype(np.uint8)
+    data = encode_jpeg(img, quality=95)
+    assert data[:2] == b"\xff\xd8"          # JPEG SOI marker
+    back = decode_jpeg(data, 64, 64)
+    assert np.abs(back.astype(int) - img.astype(int)).mean() < 4

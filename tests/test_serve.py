@@ -107,3 +107,15 @@ def test_http_server_endpoints():
     dec = np.asarray(js.loads(conn.getresponse().read())["images"],
                      np.uint8)
     np.testing.assert_allclose(dec.astype(int), img.astype(int), atol=1)
+
+    # jpeg_b64 format: ~100x smaller responses via the native encoder
+    conn.request("POST", "/sample",
+                 js.dumps({"n": 1, "format": "jpeg_b64", "quality": 95}))
+    out2 = js.loads(conn.getresponse().read())
+    assert isinstance(out2["images"][0], str)
+    import base64
+    from transeditor_tpu.data.native import decode_jpeg
+    raw = base64.b64decode(out2["images"][0])
+    assert raw[:2] == b"\xff\xd8"
+    img2 = decode_jpeg(raw, CFG.size, CFG.size)
+    assert img2.shape == (16, 16, 3)

@@ -59,6 +59,10 @@ def load_library() -> ctypes.CDLL:
         lib.teio_jpeg_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p,
             ctypes.c_int, ctypes.c_int]
+        lib.teio_jpeg_encode.restype = ctypes.c_long
+        lib.teio_jpeg_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_long]
         lib.teio_loader_create.restype = ctypes.c_void_p
         lib.teio_loader_create.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -116,6 +120,22 @@ def decode_jpeg(data: bytes, width: int, height: int) -> np.ndarray:
     if rc != 0:
         raise ValueError(f"jpeg decode failed ({rc})")
     return out
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+    """[H, W, 3] uint8 RGB -> JPEG bytes via libjpeg (no PIL)."""
+    lib = load_library()
+    img = np.ascontiguousarray(img, np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"expected [H,W,3] uint8, got {img.shape}")
+    h, w, _ = img.shape
+    cap = w * h * 3 + 4096
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.teio_jpeg_encode(img.ctypes.data_as(ctypes.c_void_p),
+                             w, h, quality, buf, cap)
+    if n < 0:
+        raise ValueError(f"jpeg encode failed ({n})")
+    return buf.raw[:n]
 
 
 class NativeLMDBSource:

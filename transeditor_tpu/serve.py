@@ -209,8 +209,21 @@ def run_http_server(engine: InferenceEngine, host: str = "127.0.0.1",
 
     POST /sample   {"n": 4}            -> {"images": [...u8 nested...]}
     POST /decode   {"z": [...], "p": [...], "plus_space": true}
+
+    Any request may add {"format": "jpeg_b64"[, "quality": 90]} to get
+    base64 JPEG strings instead of nested uint8 lists (~100x smaller
+    responses; encoded by the native libjpeg runtime, not PIL).
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    def encode_images(img: np.ndarray, req: dict):
+        if req.get("format") == "jpeg_b64":
+            import base64
+            from transeditor_tpu.data.native import encode_jpeg
+            q = int(req.get("quality", 90))
+            return [base64.b64encode(encode_jpeg(im, q)).decode()
+                    for im in img]
+        return img.tolist()
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):
@@ -235,14 +248,14 @@ def run_http_server(engine: InferenceEngine, host: str = "127.0.0.1",
             try:
                 if self.path == "/sample":
                     img, zp, pp = engine.sample(int(req.get("n", 1)))
-                    resp = {"images": img.tolist(),
+                    resp = {"images": encode_images(img, req),
                             "z_plus": zp.tolist(), "p_plus": pp.tolist()}
                 elif self.path == "/decode":
                     img = engine.decode(
                         np.asarray(req["z"], np.float32),
                         np.asarray(req["p"], np.float32),
                         bool(req.get("plus_space", True)))
-                    resp = {"images": img.tolist()}
+                    resp = {"images": encode_images(img, req)}
                 elif self.path == "/edit_strip":
                     img = engine.edit_strip(
                         np.asarray(req["z_plus"], np.float32),
@@ -252,7 +265,7 @@ def run_http_server(engine: InferenceEngine, host: str = "127.0.0.1",
                         start=float(req.get("start", -3.0)),
                         end=float(req.get("end", 3.0)),
                         steps=int(req.get("steps", 8)))
-                    resp = {"images": img.tolist()}
+                    resp = {"images": encode_images(img, req)}
                 else:
                     self.send_error(404)
                     return
