@@ -53,3 +53,26 @@ def test_orbax_train_state_roundtrip(tmp_path):
     oa = jax.tree.leaves(state.opt_g)
     ob = jax.tree.leaves(restored.opt_g)
     assert len(oa) == len(ob)
+
+
+def test_async_save_restore_roundtrip(tmp_path):
+    """async_save=True serialises in the background; wait_for_saves()
+    then restore must reproduce the exact state."""
+    import jax
+    from transeditor_tpu.config import ModelConfig, TrainConfig
+    from transeditor_tpu.io.checkpoint import (restore_train_state,
+                                               save_train_state,
+                                               wait_for_saves)
+    from transeditor_tpu.train.gan import init_state
+
+    cfg = ModelConfig(size=16, style_dim=32, param_dim=32,
+                      max_channels=32, n_trans=1)
+    tcfg = TrainConfig(batch_size=2)
+    state = init_state(cfg, tcfg, jax.random.PRNGKey(0))
+    save_train_state(str(tmp_path), 7, state, async_save=True)
+    wait_for_saves()
+    restored, step = restore_train_state(str(tmp_path), state)
+    assert step == 7
+    a = jax.tree.leaves(state.params_g)[0]
+    b = jax.tree.leaves(restored.params_g)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -28,10 +28,40 @@ from transeditor_tpu.io.torch_port import (
 )
 
 
-def save_train_state(ckpt_dir: str, step: int, state: Any) -> None:
+_async_ckptr: Optional[ocp.AsyncCheckpointer] = None
+
+
+def _async_checkpointer() -> ocp.AsyncCheckpointer:
+    global _async_ckptr
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(
+            ocp.StandardCheckpointHandler())
+    return _async_ckptr
+
+
+def save_train_state(ckpt_dir: str, step: int, state: Any,
+                     async_save: bool = False) -> None:
+    """Checkpoint the full train state.
+
+    ``async_save=True`` serialises in a background thread so the train
+    loop keeps stepping (at most one save in flight — a new save first
+    waits out the previous one); call ``wait_for_saves()`` before
+    process exit or restore.
+    """
     path = os.path.join(os.path.abspath(ckpt_dir), f"{step:06d}")
+    if async_save:
+        ckptr = _async_checkpointer()
+        ckptr.wait_until_finished()
+        ckptr.save(path, args=ocp.args.StandardSave(state))
+        return
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, state)
+
+
+def wait_for_saves() -> None:
+    """Block until any in-flight async checkpoint save completes."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
 
 
 def restore_train_state(ckpt_dir: str, state_template: Any,

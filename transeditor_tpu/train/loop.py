@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from transeditor_tpu.config import ModelConfig, TrainConfig
-from transeditor_tpu.io.checkpoint import save_train_state
+from transeditor_tpu.io.checkpoint import save_train_state, wait_for_saves
 from transeditor_tpu.models import Generator
 from transeditor_tpu.parallel import create_mesh, shard_batch, shard_params
 from transeditor_tpu.train.gan import (GANTrainState, init_state,
@@ -132,7 +132,9 @@ def train(
             save_png(os.path.join(sample_dir, f"{i:06d}.png"), grid)
 
         if i % tcfg.checkpoint_every == 0:
-            save_train_state(ckpt_dir, i, state)
+            # background serialisation: the loop keeps stepping
+            save_train_state(ckpt_dir, i, state, async_save=True)
 
+    wait_for_saves()
     logger.close()
     return state
