@@ -312,6 +312,11 @@ struct Loader {
   size_t frame_bytes = 0;
 
   int n_workers = 1;
+  // workers with a non-empty sub-shard; queue admission round-robins
+  // over these so no shard is ever starved (coverage is deterministic
+  // even on a single host core)
+  int active_workers = 1;
+  long turn = 0;
   std::vector<std::thread> workers;
   std::mutex mu;
   std::condition_variable cv_full, cv_empty;
@@ -345,7 +350,10 @@ static long lmdb_length(lmdb::Env* env) {
 // Worker w of n_workers decodes its own sub-shard of the host's index
 // shard (stride host_count * n_workers), so concurrent workers never
 // duplicate samples within an epoch.  LMDB reads are lock-free: the
-// engine is a stateless B-tree walk over a read-only mmap.
+// engine is a stateless B-tree walk over a read-only mmap.  Decodes
+// run fully in parallel; only queue ADMISSION is round-robin across
+// workers, which makes batch interleaving (and therefore epoch
+// coverage) deterministic instead of scheduler-dependent.
 static void loader_worker(Loader* L, int w) {
   std::mt19937_64 rng(L->seed + L->host_index * 1000 + w);
   std::vector<long> order;
@@ -383,10 +391,13 @@ static void loader_worker(Loader* L, int w) {
     }
     std::unique_lock<std::mutex> lk(L->mu);
     L->cv_full.wait(lk, [&] {
-      return L->stop || L->queue.size() < L->max_queue; });
+      return L->stop || (L->queue.size() < L->max_queue &&
+                         L->turn % L->active_workers == w); });
     if (L->stop) return;
     L->queue.push_back(std::move(frame));
+    ++L->turn;
     L->cv_empty.notify_one();
+    L->cv_full.notify_all();  // the admission turn moved on
   }
 }
 
@@ -444,6 +455,12 @@ void* teio_loader_create(const char* lmdb_path, int resolution, int batch,
   L->n_workers = n_workers > 0 ? n_workers : 1;
   L->n = lmdb_length(env);
   if (L->n <= 0) { delete L; return nullptr; }
+  // ranks with a non-empty sub-shard form a prefix [0, k): worker w's
+  // first index is host_index + host_count*w, so k = ceil((n - host_index)
+  // / host_count) capped at n_workers.  Only these join the admission
+  // rotation.
+  long k = (L->n - L->host_index + L->host_count - 1) / L->host_count;
+  L->active_workers = int(std::min<long>(L->n_workers, std::max<long>(k, 1)));
   L->frame_bytes = size_t(batch) * resolution * resolution * 3;
   for (int w = 0; w < L->n_workers; ++w)
     L->workers.emplace_back(loader_worker, L, w);
@@ -458,7 +475,9 @@ int teio_loader_next(void* loader, uint8_t* out) {
   if (L->queue.empty()) return -1;
   std::vector<uint8_t> frame = std::move(L->queue.front());
   L->queue.pop_front();
-  L->cv_full.notify_one();
+  // notify_all: only the worker whose admission turn it is may proceed,
+  // and notify_one could wake a different one (lost wakeup).
+  L->cv_full.notify_all();
   lk.unlock();
   memcpy(out, frame.data(), frame.size());
   return 0;
