@@ -6,7 +6,13 @@ roofline).  MEASURED RESULT (2026-08, single v5e via axon, whole
 256px generator, batch 256): **int8 is 0.85x bf16** — XLA does not
 lower ``lax.conv_general_dilated`` with int8 operands to the
 double-rate MXU mode on this stack (microbench: int8 matmul == bf16
-matmul rate), so the quant/dequant overhead is pure loss.  Quality:
+matmul rate), so the quant/dequant overhead is pure loss.
+Follow-up microbench (4096^3 matmul, same chip): XLA int8
+``dot_general`` = 1.05x bf16 FLOP rate; a tiled **Pallas** int8 matmul
+(int32 accum, exact-match vs XLA) = 0.66x bf16 — Mosaic does not emit
+the double-rate int8 MXU mode either.  The 394-TOPS path is unreachable
+from this toolchain entirely, closing the avenue at every level
+(conv / matmul x XLA / Pallas).  Quality:
 ~28 dB PSNR vs f32 (13 quantized convs, random weights).  The mode is
 kept behind ``ModelConfig.quantize='int8'`` for future toolchains
 where the int8 conv path is real; do not enable it for parity work.
