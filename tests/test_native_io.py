@@ -118,6 +118,27 @@ def test_loader_multiworker_uint8(tmp_path):
     loader.close()
 
 
+def test_loader_multiworker_deterministic(tmp_path):
+    """Queue admission is round-robin over workers, so the batch stream
+    is a pure function of (seed, sharding) — two identical loaders must
+    produce identical streams regardless of thread scheduling."""
+    imgs = [np.full((8, 8, 3), 16 * i, np.uint8) for i in range(12)]
+    path = str(tmp_path / "detdb")
+    write_image_dataset(path, [_jpeg_bytes(im) for im in imgs], 8)
+
+    def stream(n):
+        ld = NativeLMDBLoader(path, batch=4, resolution=8, seed=7,
+                              shuffle=True, flip=False, workers=3,
+                              as_uint8=True)
+        out = [next(ld).copy() for _ in range(n)]
+        ld.close()
+        return out
+
+    a, b = stream(12), stream(12)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_jpeg_encode_roundtrip():
     from transeditor_tpu.data.native import encode_jpeg
     y, x = np.mgrid[0:64, 0:64]
