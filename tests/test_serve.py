@@ -38,6 +38,26 @@ def test_engine_endpoints():
     assert strip.shape == (5, 16, 16, 3)
 
 
+def test_warmup_precompiles_program_ladder():
+    """warmup() fills the pow2 jit caches so no request-path compile
+    remains for batches <= max_batch."""
+    g = Generator(CFG)
+    z = jnp.zeros((1, 16, 32))
+    params = g.init(jax.random.PRNGKey(0), z, z)
+    eng = InferenceEngine(CFG, params)
+    # NOTE: lru_cache on methods is class-level (keyed on self), so
+    # measure DELTAS to stay independent of other tests' engines.
+    s0 = eng._sample_fn.cache_info().currsize
+    d0 = eng._decode_fn.cache_info().currsize
+    eng.warmup(max_batch=4)
+    assert eng._sample_fn.cache_info().currsize - s0 == 3   # 1, 2, 4
+    assert eng._decode_fn.cache_info().currsize - d0 == 6   # x plus T/F
+    warm = eng._sample_fn.cache_info().currsize
+    img, _, _ = eng.sample(3)                               # pads to 4
+    assert img.shape == (3, 16, 16, 3)
+    assert eng._sample_fn.cache_info().currsize == warm     # no new program
+
+
 def test_request_coalescing():
     """Concurrent decode requests merge into fewer device dispatches
     and return per-request slices identical to serial calls."""

@@ -96,7 +96,7 @@ class _Batcher:
 
 class InferenceEngine:
     def __init__(self, cfg: ModelConfig, gen_params, seed: int = 0,
-                 coalesce_window_ms: float = 2.0):
+                 coalesce_window_ms: float = 5.0):
         self.cfg = cfg
         self.gen = Generator(cfg)
         # device arrays: jit sees the weights as arguments, never as
@@ -172,6 +172,27 @@ class InferenceEngine:
         return out
 
     # ------------------------------------------------------------- API
+
+    def warmup(self, max_batch: int = 64, decode: bool = True):
+        """Pre-compile the power-of-two program ladder.
+
+        Without this, the first request at each padded batch size pays
+        its compile (seconds) INSIDE the coalescing queue, stalling
+        every concurrent caller behind it — measured 12.5 s p50 for a
+        32-request burst on a cold axon server vs sub-second warm.
+        One-time cost at startup instead."""
+        b = 1
+        t, d = self.cfg.n_tokens, self.cfg.style_dim
+        while b <= max_batch:
+            img, zp, pp = self._sample_fn(b)(self.params, self._next_key())
+            float(np.asarray(jnp.sum(img)))  # force execution (axon)
+            if decode:
+                z = np.zeros((b, t, d), np.float32)
+                for plus in (True, False):
+                    out = self._decode_fn(b, plus)(
+                        self.params, jnp.asarray(z), jnp.asarray(z))
+                    float(np.asarray(jnp.sum(out)))
+            b *= 2
 
     def sample(self, n: int):
         """Returns (uint8 images [n,H,W,3], z_plus, p_plus).
@@ -318,11 +339,20 @@ def main(argv=None):
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--warmup", type=int, default=64,
+                   help="pre-compile pow2 batch programs up to this "
+                        "size before serving (0 disables)")
     args = p.parse_args(argv)
     cfg = ModelConfig(size=args.size, n_trans=args.num_trans,
                       dtype=args.dtype)
     engine = engine_from_checkpoint(cfg, args.ckpt, args.orbax_dir,
                                     args.step)
+    if args.warmup > 0:
+        t0 = time.time()
+        print(f"warming up programs to batch {args.warmup}...",
+              flush=True)
+        engine.warmup(args.warmup)
+        print(f"warmup done in {time.time() - t0:.1f}s", flush=True)
     run_http_server(engine, args.host, args.port)
 
 
