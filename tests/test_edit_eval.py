@@ -39,3 +39,18 @@ def test_load_strips_roundtrip(tmp_path):
     got = strips["p_plus"][0]
     assert got.shape == (3, 8, 8, 3)
     np.testing.assert_allclose(got, imgs, atol=0.02)
+
+
+def test_build_scorers_dispatches_pose(tmp_path):
+    """Regression: build_scorers must port 'pose' via the resnet18
+    porter, not the DEX VGG porter (KeyError on conv.0.conv1.weight)."""
+    import torch
+    from test_pose_classifier import torch_classify_model
+    from transeditor_tpu.cli.edit_eval import build_scorers
+
+    sd_path = str(tmp_path / "pose.pt")
+    torch.save(torch_classify_model().state_dict(), sd_path)
+    scorers = build_scorers([f"pose={sd_path}"])
+    img = np.zeros((2, 64, 64, 3), np.float32)
+    scores = np.asarray(scorers["pose"](img))
+    assert scores.shape == (2,) and np.all(np.isfinite(scores))

@@ -22,8 +22,7 @@ import numpy as np
 
 from transeditor_tpu.config import ModelConfig
 from transeditor_tpu.edit.classifiers import (DexVGG, PoseClassifier,
-                                              make_scorer, port_dex_vgg,
-                                              port_pose_classifier)
+                                              make_scorer)
 from transeditor_tpu.edit.sweep import (collect_scored_latents,
                                         make_strip_decoder, edit_sample,
                                         run_noinversion_sweep, save_strips,
@@ -35,17 +34,10 @@ def load_scorer(args):
     import jax
     import jax.numpy as jnp
     if args.classifier_ckpt:
-        from transeditor_tpu.io.torch_port import load_torch_checkpoint
-        sd = load_torch_checkpoint(args.classifier_ckpt)
-        if args.attribute in ("age", "gender"):
-            params = port_dex_vgg(sd)
-        elif args.attribute == "pose":
-            params = port_pose_classifier(sd)
-        else:
-            from transeditor_tpu.edit.celebahq_classifier import (
-                make_celebahq_scorer, port_celebahq_classifier)
-            return make_celebahq_scorer(port_celebahq_classifier(sd))
-        return make_scorer(args.attribute, params)
+        from transeditor_tpu.edit.classifiers import (
+            load_scorer_from_checkpoint)
+        return load_scorer_from_checkpoint(args.attribute,
+                                           args.classifier_ckpt)
     print("WARNING: no --classifier_ckpt; using a randomly initialised "
           "classifier (boundaries will be meaningless).")
     x0 = jnp.zeros((1, 224, 224, 3))

@@ -59,13 +59,11 @@ def load_strips(strips_dir: str):
 
 
 def build_scorers(specs):
-    from transeditor_tpu.edit.classifiers import make_scorer, port_dex_vgg
-    from transeditor_tpu.io.torch_port import load_torch_checkpoint
+    from transeditor_tpu.edit.classifiers import load_scorer_from_checkpoint
     scorers = {}
     for spec in specs or []:
         name, path = spec.split("=", 1)
-        sd = load_torch_checkpoint(path)
-        scorers[name] = make_scorer(name, port_dex_vgg(sd))
+        scorers[name] = load_scorer_from_checkpoint(name, path)
     return scorers
 
 

@@ -193,3 +193,21 @@ def port_dex_vgg(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     p["fc2"] = {"kernel": sd["fc2.0.weight"].T, "bias": sd["fc2.0.bias"]}
     p["cls"] = {"kernel": sd["cls.weight"].T, "bias": sd["cls.bias"]}
     return {"params": p}
+
+
+def load_scorer_from_checkpoint(attribute: str, path: str) -> Scorer:
+    """Port a torch classifier checkpoint and build its Scorer,
+    dispatched on the attribute name: DEX VGG16 for age/gender
+    (api.py:15-18), resnet18 for pose (models.py:78-89), and the
+    CelebA-HQ ProGAN-D attribute nets for anything else
+    (domain_classifier.py:4-36)."""
+    from transeditor_tpu.io.torch_port import load_torch_checkpoint
+
+    sd = load_torch_checkpoint(path)
+    if attribute in ("age", "gender"):
+        return make_scorer(attribute, port_dex_vgg(sd))
+    if attribute == "pose":
+        return make_scorer(attribute, port_pose_classifier(sd))
+    from transeditor_tpu.edit.celebahq_classifier import (
+        make_celebahq_scorer, port_celebahq_classifier)
+    return make_celebahq_scorer(port_celebahq_classifier(sd))
