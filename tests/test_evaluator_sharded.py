@@ -32,3 +32,31 @@ def test_fid_eval_on_mesh():
     fid = evaluate_fid(CFG, gen_params, inc_params, mean, cov,
                        n_samples=16, batch=16, mesh=mesh)
     assert np.isfinite(fid)
+
+
+def test_lpips_diversity_three_regimes():
+    """evaluate_lpips_diversity runs all three reference regimes; the
+    fixed-space regimes must be strictly less diverse than fully
+    random, and the same-flags are static jit args (regression for
+    TracerBoolConversionError)."""
+    from transeditor_tpu.metrics.evaluator import evaluate_lpips_diversity
+    from transeditor_tpu.zoo.lpips import LPIPS
+
+    # 32px minimum: at 16px AlexNet's deep stages hit zero spatial
+    # size and the LPIPS mean is NaN
+    cfg = ModelConfig(size=32, style_dim=32, param_dim=32,
+                      max_channels=32, n_trans=1)
+    gen = Generator(cfg)
+    z = jnp.zeros((1, cfg.n_tokens, cfg.style_dim))
+    gp = gen.init(jax.random.PRNGKey(0), z, z)
+    lpips = LPIPS(net="alex")
+    x0 = jnp.zeros((1, cfg.size, cfg.size, 3))
+    lp = lpips.init(jax.random.PRNGKey(1), x0, x0)
+
+    out = evaluate_lpips_diversity(cfg, gp, lp, n_images=6, n_batches=1,
+                                   pair_chunk=15)
+    assert set(out) == {"all", "fix_z", "fix_p"}
+    for v in out.values():
+        assert np.isfinite(v) and v >= 0.0
+    # fixing either space removes diversity vs fully-random draws
+    assert out["fix_z"] <= out["all"] and out["fix_p"] <= out["all"]

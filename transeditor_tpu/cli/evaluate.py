@@ -4,7 +4,8 @@ Usage:
   python -m transeditor_tpu.cli.evaluate --ckpt out/run/checkpoint/790000.pt \
       --fid --inception_stats inception_ffhq.pkl \
       --inception_weights pt_inception.pth \
-      [--lpips --lpips_weights lpips_alex.pt] [--ppl] [--dataset ffhq]
+      [--lpips --lpips_weights lpips_alex.pt] \
+      [--ppl --ppl_lpips_weights lpips_vgg.pt] [--dataset ffhq]
 
 With --ckpt_dir, evaluates every checkpoint and reports the best FID
 (reference :383-391).
@@ -54,7 +55,10 @@ def main(argv=None):
                         "(evaluate_query.py use_slerp)")
     p.add_argument("--inception_stats", type=str, default=None)
     p.add_argument("--inception_weights", type=str, default=None)
-    p.add_argument("--lpips_weights", type=str, default=None)
+    p.add_argument("--lpips_weights", type=str, default=None,
+                   help="AlexNet LPIPS ckpt for the diversity metric")
+    p.add_argument("--ppl_lpips_weights", type=str, default=None,
+                   help="richzhang net-lin VGG ckpt for PPL")
     p.add_argument("--dtype", type=str, default="bfloat16")
     args = p.parse_args(argv)
 
@@ -78,17 +82,29 @@ def main(argv=None):
             inception_params = inception.init(
                 jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
 
-    lpips_params = None
-    if args.lpips or args.ppl:
+    # two different perceptual nets, per the reference protocol:
+    # diversity scores with AlexNet LPIPS (evaluate_query.py:97), PPL
+    # with richzhang net-lin VGG (:139-140)
+    x0 = jnp.zeros((1, cfg.size, cfg.size, 3))
+    lpips_params = ppl_lpips_params = None
+    if args.lpips:
         if args.lpips_weights:
             from transeditor_tpu.io.torch_port import load_torch_checkpoint
             lpips_params = load_lpips_params(
-                load_torch_checkpoint(args.lpips_weights))
+                load_torch_checkpoint(args.lpips_weights), net="alex")
         else:
-            print("WARNING: random LPIPS weights (pass --lpips_weights)")
-            net = LPIPS(net="vgg")
-            x0 = jnp.zeros((1, cfg.size, cfg.size, 3))
-            lpips_params = net.init(jax.random.PRNGKey(1), x0, x0)
+            print("WARNING: random alex-LPIPS (pass --lpips_weights)")
+            lpips_params = LPIPS(net="alex").init(
+                jax.random.PRNGKey(1), x0, x0)
+    if args.ppl:
+        if args.ppl_lpips_weights:
+            from transeditor_tpu.io.torch_port import load_torch_checkpoint
+            ppl_lpips_params = load_lpips_params(
+                load_torch_checkpoint(args.ppl_lpips_weights), net="vgg")
+        else:
+            print("WARNING: random vgg-LPIPS (pass --ppl_lpips_weights)")
+            ppl_lpips_params = LPIPS(net="vgg").init(
+                jax.random.PRNGKey(2), x0, x0)
 
     ckpts = [args.ckpt] if args.ckpt else sorted(
         glob.glob(os.path.join(args.ckpt_dir, "*.pt")))
@@ -98,7 +114,8 @@ def main(argv=None):
         report = evaluate_checkpoint(
             cfg, gen_params,
             inception_params=inception_params, real_stats=real_stats,
-            lpips_params=lpips_params, do_fid=args.fid,
+            lpips_params=lpips_params,
+            ppl_lpips_params=ppl_lpips_params, do_fid=args.fid,
             do_lpips=args.lpips, do_ppl=args.ppl,
             fid_samples=fid_samples, lpips_batches=args.lpips_batches,
             ppl_samples=args.ppl_samples, batch=args.batch,

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import pickle
+from functools import partial
 from typing import Callable, Dict, List, Optional
 
 import jax
@@ -129,7 +130,9 @@ def evaluate_lpips_diversity(cfg: ModelConfig, gen_params, lpips_params,
     n_pairs = len(iu)
     assert n_pairs % pair_chunk == 0 or pair_chunk >= n_pairs
 
-    @jax.jit
+    # same-flags select a sampling SHAPE (one draw broadcast vs per-item
+    # draws) — a Python-level branch, so they must be static jit args
+    @partial(jax.jit, static_argnames=("z_same", "p_same"))
     def group_diversity(gp, lp, key, z_same, p_same):
         kz, kp = jax.random.split(key)
         z = sample_tokens(kz, n_images, cfg.n_tokens, cfg.style_dim,
@@ -154,12 +157,15 @@ def evaluate_lpips_diversity(cfg: ModelConfig, gen_params, lpips_params,
     for b in range(n_batches):
         k = jax.random.fold_in(key, b)
         k1, k2, k3 = jax.random.split(k, 3)
+        # regime labels follow the reference exactly: its "fix_z"
+        # accumulates the P-fixed draws and "fix_p" the Z-fixed ones
+        # (evaluate_query.py:116-128)
         sums["all"] += float(group_diversity(gen_params, lpips_params,
-                                             k1, False, False))
+                                             k1, z_same=False, p_same=False))
         sums["fix_z"] += float(group_diversity(gen_params, lpips_params,
-                                               k2, False, True))
+                                               k2, z_same=False, p_same=True))
         sums["fix_p"] += float(group_diversity(gen_params, lpips_params,
-                                               k3, True, False))
+                                               k3, z_same=True, p_same=False))
     return {k: v / n_batches for k, v in sums.items()}
 
 
@@ -223,10 +229,16 @@ class EvalReport:
 
 def evaluate_checkpoint(cfg: ModelConfig, gen_params, *,
                         inception_params=None, real_stats=None,
-                        lpips_params=None, do_fid=False, do_lpips=False,
+                        lpips_params=None, ppl_lpips_params=None,
+                        do_fid=False, do_lpips=False,
                         do_ppl=False, fid_samples=69_000,
                         lpips_batches=1000, ppl_samples=10_000,
                         batch=64, ppl_slerp=False) -> EvalReport:
+    """The reference uses two DIFFERENT perceptual nets: AlexNet LPIPS
+    for the diversity metric (evaluate_query.py:97, metrics/lpips.py)
+    and richzhang net-lin VGG for PPL (:139-140) — so the two protocols
+    take separate param trees (``lpips_params`` = alex,
+    ``ppl_lpips_params`` = vgg)."""
     report = EvalReport()
     if do_fid:
         assert inception_params is not None and real_stats is not None
@@ -234,12 +246,14 @@ def evaluate_checkpoint(cfg: ModelConfig, gen_params, *,
                                   *real_stats, n_samples=fid_samples,
                                   batch=batch)
     if do_lpips:
+        assert lpips_params is not None
         report.lpips = evaluate_lpips_diversity(
             cfg, gen_params, lpips_params, n_batches=lpips_batches)
     if do_ppl:
+        assert ppl_lpips_params is not None
         report.ppl = {
-            space: compute_ppl(cfg, gen_params, lpips_params, space=space,
-                               eval_plus=True, crop=True,
+            space: compute_ppl(cfg, gen_params, ppl_lpips_params,
+                               space=space, eval_plus=True, crop=True,
                                use_slerp=ppl_slerp,
                                n_samples=ppl_samples, batch=batch)
             for space in ("all", "p", "z")}
