@@ -105,3 +105,40 @@ def test_vgg19_loss_smoke():
     loss = vgg19_perceptual_loss(
         lambda p, im: net.apply(p, im), params, x, y)
     assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_lpips_real_reference_head_weights():
+    """Port the REFERENCE'S OWN bundled LPIPS linear heads — the
+    StarGAN-v2 ckpt (metrics/lpips_weights.ckpt) and the richzhang
+    v0.1 heads (utils/lpips/weights/v0.1/{alex,vgg}.pth).  Heads must
+    land verbatim; backbone falls back to random init (torchvision
+    pretrained is not available offline)."""
+    import os
+    import torch
+    from transeditor_tpu.zoo.lpips import LPIPS, load_lpips_params
+
+    ref = "/root/reference"
+    cases = [
+        (os.path.join(ref, "metrics/lpips_weights.ckpt"), "alex",
+         "lpips_weights.{i}.main.1.weight"),
+        (os.path.join(ref, "utils/lpips/weights/v0.1/alex.pth"), "alex",
+         "lin{i}.model.1.weight"),
+        (os.path.join(ref, "utils/lpips/weights/v0.1/vgg.pth"), "vgg",
+         "lin{i}.model.1.weight"),
+    ]
+    for path, net, key_fmt in cases:
+        if not os.path.exists(path):
+            continue
+        sd = {k: v.numpy() for k, v in
+              torch.load(path, map_location="cpu").items()}
+        params = load_lpips_params(sd, net=net)
+        for i in range(5):
+            want = sd[key_fmt.format(i=i)].reshape(-1)
+            np.testing.assert_array_equal(
+                np.asarray(params["params"][f"lin{i}"]), want)
+        # full module runs with the ported tree
+        lpips = LPIPS(net=net)
+        x = jnp.asarray(np.random.RandomState(0)
+                        .randn(2, 64, 64, 3).astype(np.float32) * 0.3)
+        d = np.asarray(lpips.apply(params, x, jnp.zeros_like(x)))
+        assert d.shape == (2,) and np.all(np.isfinite(d))

@@ -75,27 +75,45 @@ class LPIPS(nn.Module):
 
 
 def load_lpips_params(sd: Dict[str, np.ndarray],
-                      net: str = "alex") -> Dict[str, Any]:
+                      net: str = "alex",
+                      backbone_sd: Optional[Dict[str, np.ndarray]] = None,
+                      ) -> Dict[str, Any]:
     """Port a torch LPIPS checkpoint.
 
     Accepts either the richzhang layout (``lin{i}.model.1.weight`` +
     backbone under ``net.slice*``/separate torchvision alexnet) or the
     StarGAN-v2 layout (``alexnet.layers.{idx}.*`` +
     ``lpips_weights.{i}.main.1.weight``).
+
+    Both reference distributions bundle ONLY the linear heads
+    (metrics/lpips_weights.ckpt, utils/lpips/weights/v0.*/): the conv
+    backbone comes from torchvision's pretrained model at runtime
+    (metrics/lpips.py:12-37, networks_basic.py).  For a heads-only
+    checkpoint pass that torchvision state dict as ``backbone_sd``; if
+    neither source has backbone weights, the backbone is RANDOM-init
+    (heads still real) and a warning is printed — fine for smoke runs,
+    not for reportable metric values.
     """
     params: Dict[str, Any] = {}
 
     # --- backbone convs
     if any(k.startswith("alexnet.layers") for k in sd):
-        backbone_sd = {k[len("alexnet.layers."):]: v for k, v in sd.items()
-                       if k.startswith("alexnet.layers.")}
-        backbone = port_alexnet({f"features.{k}": v
-                                 for k, v in backbone_sd.items()})
+        bsd = {k[len("alexnet.layers."):]: v for k, v in sd.items()
+               if k.startswith("alexnet.layers.")}
+        backbone = port_alexnet({f"features.{k}": v for k, v in bsd.items()})
     elif any(k.startswith("features.") for k in sd):
         backbone = (port_alexnet(sd) if net == "alex"
                     else port_vgg(sd, 13))
+    elif backbone_sd is not None:
+        backbone = (port_alexnet(backbone_sd) if net == "alex"
+                    else port_vgg(backbone_sd, 13))
     else:
-        raise ValueError("unrecognised LPIPS checkpoint layout")
+        print("WARNING: LPIPS checkpoint has only linear heads and no "
+              "backbone_sd given — backbone is RANDOM init")
+        lpips = LPIPS(net=net)
+        x0 = jnp.zeros((1, 64, 64, 3))
+        backbone = {"params": lpips.init(
+            jax.random.PRNGKey(0), x0, x0)["params"]["backbone"]}
     params["backbone"] = backbone["params"]
 
     # --- linear heads
