@@ -5,6 +5,12 @@ flagship 256px generator (g_ema inference path, bf16 synthesis) — and
 prints ONE JSON line; ``vs_baseline`` is relative to the 5,000
 img/s/chip north-star target.
 
+Multi-chip: when more than one device is visible the batch shards over
+a (data,) mesh — BATCH images per chip — and the reported value stays
+per-chip, so the number is comparable across topologies.  (On the
+tunnelled single v5e this is a no-op; `tests/test_bench_mesh.py`
+validates the sharded path on the 8-virtual-device CPU mesh.)
+
 Methodology notes for the axon-tunnelled TPU:
   * ``block_until_ready`` does not actually block on this experimental
     backend, so timing closes over a device->host SCALAR fetch of a
@@ -26,29 +32,59 @@ from transeditor_tpu.config import ModelConfig
 from transeditor_tpu.models import Generator
 from transeditor_tpu.utils.sampling import sample_zp
 
-BATCH = 256
+BATCH_PER_CHIP = 256
 ITERS_PER_CALL = 8
 TARGET = 5000.0
 
 
-def main():
-    cfg = ModelConfig(size=256, dtype="bfloat16")
-    gen = Generator(cfg)
+def build_sampler(cfg: ModelConfig, batch_per_chip: int, iters: int,
+                  mesh=None):
+    """Returns (params, jitted sample_many(params, key) -> checksum).
 
-    z0 = jnp.zeros((BATCH, cfg.n_tokens, cfg.style_dim), jnp.float32)
+    With a mesh, every sampled batch is constrained to shard over its
+    'data' axis (batch_per_chip images per device) and the params ride
+    replicated — the nn.DataParallel-eval analogue, XLA-style.
+    """
+    gen = Generator(cfg)
+    z0 = jnp.zeros((1, cfg.n_tokens, cfg.style_dim), jnp.float32)
     params = jax.jit(gen.init)(jax.random.PRNGKey(0), z0, z0)
+
+    n_dev = 1
+    constraint = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from transeditor_tpu.parallel.mesh import replicated
+        n_dev = mesh.shape["data"]
+        constraint = NamedSharding(mesh, P("data"))
+        params = jax.device_put(params, replicated(mesh))
+    batch = batch_per_chip * n_dev
 
     @jax.jit
     def sample_many(params, key):
         def body(carry, i):
-            zz, pp = sample_zp(jax.random.fold_in(key, i), BATCH,
+            zz, pp = sample_zp(jax.random.fold_in(key, i), batch,
                                cfg.n_tokens, cfg.style_dim)
+            if constraint is not None:
+                zz = jax.lax.with_sharding_constraint(zz, constraint)
+                pp = jax.lax.with_sharding_constraint(pp, constraint)
             img = gen.apply(params, zz, pp).image
             return carry + jnp.sum(img.astype(jnp.float32)), ()
 
-        total, _ = jax.lax.scan(body, jnp.zeros(()),
-                                jnp.arange(ITERS_PER_CALL))
+        total, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(iters))
         return total
+
+    return params, sample_many, batch
+
+
+def main():
+    cfg = ModelConfig(size=256, dtype="bfloat16")
+    devices = jax.devices()
+    mesh = None
+    if len(devices) > 1:
+        from transeditor_tpu.parallel.mesh import create_mesh
+        mesh = create_mesh(n_data=len(devices), n_model=1)
+    params, sample_many, batch = build_sampler(
+        cfg, BATCH_PER_CHIP, ITERS_PER_CALL, mesh)
 
     key = jax.random.PRNGKey(1)
     # warmup: compile + first execution (fetch forces completion)
@@ -64,12 +100,13 @@ def main():
         best_dt = min(best_dt, time.perf_counter() - t0)
         assert np.isfinite(acc)
 
-    imgs_per_sec = BATCH * ITERS_PER_CALL / best_dt
+    imgs_per_sec_per_chip = (batch * ITERS_PER_CALL / best_dt
+                             / max(1, len(devices) if mesh else 1))
     print(json.dumps({
         "metric": "sampling_throughput_256px",
-        "value": round(imgs_per_sec, 2),
+        "value": round(imgs_per_sec_per_chip, 2),
         "unit": "img/s/chip",
-        "vs_baseline": round(imgs_per_sec / TARGET, 4),
+        "vs_baseline": round(imgs_per_sec_per_chip / TARGET, 4),
     }))
 
 

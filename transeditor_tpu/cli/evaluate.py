@@ -57,8 +57,14 @@ def main(argv=None):
     p.add_argument("--inception_weights", type=str, default=None)
     p.add_argument("--lpips_weights", type=str, default=None,
                    help="AlexNet LPIPS ckpt for the diversity metric")
+    p.add_argument("--lpips_backbone", type=str, default=None,
+                   help="torchvision alexnet state dict when "
+                        "--lpips_weights is heads-only")
     p.add_argument("--ppl_lpips_weights", type=str, default=None,
                    help="richzhang net-lin VGG ckpt for PPL")
+    p.add_argument("--ppl_lpips_backbone", type=str, default=None,
+                   help="torchvision vgg16 state dict when "
+                        "--ppl_lpips_weights is heads-only")
     p.add_argument("--dtype", type=str, default="bfloat16")
     args = p.parse_args(argv)
 
@@ -86,12 +92,20 @@ def main(argv=None):
     # diversity scores with AlexNet LPIPS (evaluate_query.py:97), PPL
     # with richzhang net-lin VGG (:139-140)
     x0 = jnp.zeros((1, cfg.size, cfg.size, 3))
+
+    def _backbone_sd(path):
+        if not path:
+            return None
+        from transeditor_tpu.io.torch_port import load_torch_checkpoint
+        return load_torch_checkpoint(path)
+
     lpips_params = ppl_lpips_params = None
     if args.lpips:
         if args.lpips_weights:
             from transeditor_tpu.io.torch_port import load_torch_checkpoint
             lpips_params = load_lpips_params(
-                load_torch_checkpoint(args.lpips_weights), net="alex")
+                load_torch_checkpoint(args.lpips_weights), net="alex",
+                backbone_sd=_backbone_sd(args.lpips_backbone))
         else:
             print("WARNING: random alex-LPIPS (pass --lpips_weights)")
             lpips_params = LPIPS(net="alex").init(
@@ -100,7 +114,8 @@ def main(argv=None):
         if args.ppl_lpips_weights:
             from transeditor_tpu.io.torch_port import load_torch_checkpoint
             ppl_lpips_params = load_lpips_params(
-                load_torch_checkpoint(args.ppl_lpips_weights), net="vgg")
+                load_torch_checkpoint(args.ppl_lpips_weights), net="vgg",
+                backbone_sd=_backbone_sd(args.ppl_lpips_backbone))
         else:
             print("WARNING: random vgg-LPIPS (pass --ppl_lpips_weights)")
             ppl_lpips_params = LPIPS(net="vgg").init(
