@@ -104,11 +104,13 @@ def make_train_iterator(
     n = len(source)
     local_indices = np.arange(host_index, n, host_count)
 
+    stop = threading.Event()
+
     def producer(out_q: queue_lib.Queue):
         rng = np.random.RandomState(seed + host_index)
         epoch_order = local_indices.copy()
         pos = len(epoch_order)  # trigger shuffle on first use
-        while True:
+        while not stop.is_set():
             batch_idx = []
             while len(batch_idx) < batch_size:
                 if pos >= len(epoch_order):
@@ -121,13 +123,26 @@ def make_train_iterator(
             flips = (rng.rand(batch_size) < 0.5) if flip else \
                 np.zeros(batch_size, bool)
             if normalize:
-                out_q.put(_to_train_batch(imgs, flips))
+                item = _to_train_batch(imgs, flips)
             else:
                 imgs[flips] = imgs[flips, :, ::-1, :]
-                out_q.put(imgs)
+                item = imgs
+            # bounded put that honors stop: an abandoned iterator must
+            # not leave this thread blocked on a full queue forever
+            # (leaked producers accumulate across consumers and starve
+            # the process's thread budget)
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.25)
+                    break
+                except queue_lib.Full:
+                    continue
 
     q: queue_lib.Queue = queue_lib.Queue(maxsize=prefetch)
     t = threading.Thread(target=producer, args=(q,), daemon=True)
     t.start()
-    while True:
-        yield q.get()
+    try:
+        while True:
+            yield q.get()
+    finally:
+        stop.set()  # generator closed/GC'd -> producer exits promptly
