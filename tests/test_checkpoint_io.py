@@ -55,6 +55,32 @@ def test_orbax_train_state_roundtrip(tmp_path):
     assert len(oa) == len(ob)
 
 
+def test_save_overwrites_existing_step(tmp_path):
+    """Re-saving a step must overwrite (torch.save semantics) — a
+    resumed run that re-hits a cadence step previously crashed with
+    orbax 'Destination already exists'."""
+    cfg = ModelConfig(size=16, style_dim=32, param_dim=32, max_channels=32,
+                      n_trans=1)
+    tcfg = TrainConfig(batch_size=2)
+    s1 = init_state(cfg, tcfg, jax.random.PRNGKey(0))
+    s2 = init_state(cfg, tcfg, jax.random.PRNGKey(5))
+    save_train_state(str(tmp_path), 3, s1)
+    save_train_state(str(tmp_path), 3, s2)          # sync overwrite
+    restored, step = restore_train_state(str(tmp_path), s1)
+    assert step == 3
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored.params_g)[0]),
+        np.asarray(jax.tree.leaves(s2.params_g)[0]))
+    # async path too
+    from transeditor_tpu.io.checkpoint import wait_for_saves
+    save_train_state(str(tmp_path), 3, s1, async_save=True)
+    wait_for_saves()
+    restored2, _ = restore_train_state(str(tmp_path), s1)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored2.params_g)[0]),
+        np.asarray(jax.tree.leaves(s1.params_g)[0]))
+
+
 def test_async_save_restore_roundtrip(tmp_path):
     """async_save=True serialises in the background; wait_for_saves()
     then restore must reproduce the exact state."""

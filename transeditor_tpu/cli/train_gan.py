@@ -106,8 +106,14 @@ def main(argv=None):
         from transeditor_tpu.io.checkpoint import restore_train_state
         from transeditor_tpu.train.gan import init_state
         template = init_state(cfg, tcfg, jax.random.PRNGKey(tcfg.seed))
-        state, start_step = restore_train_state(args.resume, template)
-        print(f"resumed from step {start_step}")
+        state, ckpt_step = restore_train_state(args.resume, template)
+        # the checkpoint holds the state AFTER step N ran — continue at
+        # N+1 (the reference re-runs step N on resume because
+        # torch.save overwrites; redoing a step with restored RNG-free
+        # state here would double-apply it)
+        start_step = ckpt_step + 1
+        print(f"resumed from step {ckpt_step} -> continuing at "
+              f"{start_step}")
 
     train(cfg, tcfg, data, out_dir=args.out_dir, exp_name=args.exp_name,
           state=state, start_step=start_step)

@@ -52,10 +52,13 @@ def save_train_state(ckpt_dir: str, step: int, state: Any,
     if async_save:
         ckptr = _async_checkpointer()
         ckptr.wait_until_finished()
-        ckptr.save(path, args=ocp.args.StandardSave(state))
+        # force: re-saving a step overwrites, matching torch.save
+        # semantics (a resumed run may legitimately re-hit a cadence
+        # step; orbax otherwise refuses and kills the run)
+        ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
         return
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, state)
+        ckptr.save(path, state, force=True)
 
 
 def wait_for_saves() -> None:
