@@ -134,8 +134,12 @@ def main(argv=None):
                         force=True)
         if step % ccfg.save_interval == 0 and step > 0:
             with ocp.StandardCheckpointer() as c:
+                # force: a rerun in the same exp_dir re-hits step
+                # numbers; overwrite instead of crashing (torch.save
+                # semantics, same rationale as io/checkpoint.py)
                 c.save(os.path.abspath(
-                    os.path.join(args.exp_dir, f"ckpt_{step:06d}")), state)
+                    os.path.join(args.exp_dir, f"ckpt_{step:06d}")), state,
+                    force=True)
 
 
 if __name__ == "__main__":
