@@ -41,6 +41,28 @@ def test_arcface_backbone_parity():
 
 
 @pytest.mark.slow
+def test_arcface_ir101_parity():
+    """IR-101 mode='ir' (the CurricularFace net of
+    calc_id_loss_parallel.py:29-30) through the same porter."""
+    from pSp.models.encoders.model_irse import Backbone
+    torch.manual_seed(0)
+    ref = Backbone(input_size=112, num_layers=100, mode="ir")
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = port_arcface(sd, num_layers=100, use_se=False)
+
+    rng = np.random.RandomState(1)
+    img = rng.randn(1, 3, 112, 112).astype(np.float32) * 0.5
+    with torch.no_grad():
+        want = ref(torch.tensor(img)).numpy()
+
+    net = ArcFaceBackbone(num_layers=100, mode="ir")
+    got = np.asarray(net.apply(variables,
+                               jnp.asarray(img.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
 def test_gradual_style_encoder_parity():
     from types import SimpleNamespace
     from pSp.models.encoders.psp_encoders_new import GradualStyleEncoder \

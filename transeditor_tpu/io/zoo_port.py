@@ -75,9 +75,15 @@ def port_irse_backbone(sd: Dict[str, np.ndarray], prefix: str = "",
     return params, stats
 
 
-def port_arcface(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
-    """Full ArcFace Backbone (model_irse.py) -> ArcFaceBackbone vars."""
-    trunk_p, trunk_s = port_irse_backbone(sd)
+def port_arcface(sd: Dict[str, np.ndarray], num_layers: int = 50,
+                 use_se: bool = True) -> Dict[str, Any]:
+    """Full ArcFace Backbone (model_irse.py) -> ArcFaceBackbone vars.
+
+    ``num_layers=100, use_se=False`` ports the IR-101 CurricularFace
+    net used by ``pSp/scripts/calc_id_loss_parallel.py:29-30``.
+    """
+    trunk_p, trunk_s = port_irse_backbone(sd, num_layers=num_layers,
+                                          use_se=use_se)
     params: Dict[str, Any] = {"trunk": trunk_p}
     stats: Dict[str, Any] = {"trunk": trunk_s}
 
