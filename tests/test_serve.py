@@ -16,6 +16,29 @@ def test_pad_pow2():
     assert _pad_pow2(65) == 128
 
 
+def test_large_requests_chunk_not_truncate(monkeypatch):
+    """A merged request bigger than the device-batch cap must run in
+    chunks and return EVERY image (regression: the pow2 cap used to
+    silently truncate sample() and crash decode())."""
+    import transeditor_tpu.serve as serve_mod
+    monkeypatch.setattr(serve_mod, "_MAX_DEVICE_BATCH", 4)
+
+    g = Generator(CFG)
+    z = jnp.zeros((1, 16, 32))
+    params = g.init(jax.random.PRNGKey(0), z, z)
+    eng = InferenceEngine(CFG, params)
+
+    img, zp, pp = eng.sample(11)           # 4+4+3 device chunks
+    assert img.shape == (11, 16, 16, 3)
+    assert zp.shape == (11, 16, 32) and np.isfinite(zp).all()
+    # all chunks sampled with distinct keys -> no duplicated images
+    assert not np.array_equal(img[0], img[4])
+
+    dec = eng.decode(zp, pp, plus_space=True)
+    assert dec.shape == (11, 16, 16, 3)
+    np.testing.assert_allclose(dec.astype(int), img.astype(int), atol=1)
+
+
 def test_engine_endpoints():
     g = Generator(CFG)
     z = jnp.zeros((1, 16, 32))

@@ -44,7 +44,13 @@ from transeditor_tpu.utils.image import to_uint8
 from transeditor_tpu.utils.sampling import sample_zp
 
 
-def _pad_pow2(n: int, lo: int = 1, hi: int = 512) -> int:
+# Largest single device program: keeps the compiled-program ladder
+# bounded AND stays under HBM at 256px (batch 512 OOMs a v5e there —
+# see README perf journal); bigger merged requests run in chunks.
+_MAX_DEVICE_BATCH = 256
+
+
+def _pad_pow2(n: int, lo: int = 1, hi: int = _MAX_DEVICE_BATCH) -> int:
     p = lo
     while p < n and p < hi:
         p *= 2
@@ -118,7 +124,7 @@ class InferenceEngine:
             self._key, k = jax.random.split(self._key)
         return k
 
-    @functools.lru_cache(maxsize=16)
+    @functools.lru_cache(maxsize=32)
     def _sample_fn(self, batch: int):
         @jax.jit
         def f(params, key):
@@ -128,7 +134,7 @@ class InferenceEngine:
             return out.image, out.z_plus, out.p_plus
         return f
 
-    @functools.lru_cache(maxsize=16)
+    @functools.lru_cache(maxsize=32)
     def _decode_fn(self, batch: int, plus_space: bool):
         @jax.jit
         def f(params, z, p):
@@ -140,11 +146,20 @@ class InferenceEngine:
     # ----------------------------------------------------- batched runs
 
     def _run_samples(self, counts: List[int]):
-        total = _pad_pow2(sum(counts))
-        img, zp, pp = self._sample_fn(total)(self.params,
-                                             self._next_key())
-        img = to_uint8(np.asarray(img, np.float32))
-        zp, pp = np.asarray(zp), np.asarray(pp)
+        total = sum(counts)
+        # chunk merged requests > _MAX_DEVICE_BATCH across device calls
+        # (a pow2 cap alone would silently truncate large requests)
+        imgs, zps, pps, done = [], [], [], 0
+        while done < total:
+            take = min(total - done, _MAX_DEVICE_BATCH)
+            img, zp, pp = self._sample_fn(_pad_pow2(take))(
+                self.params, self._next_key())
+            imgs.append(to_uint8(np.asarray(img, np.float32)[:take]))
+            zps.append(np.asarray(zp)[:take])
+            pps.append(np.asarray(pp)[:take])
+            done += take
+        img = np.concatenate(imgs)
+        zp, pp = np.concatenate(zps), np.concatenate(pps)
         out, start = [], 0
         for n in counts:
             out.append((img[start:start + n], zp[start:start + n],
@@ -156,15 +171,22 @@ class InferenceEngine:
                      plus_space: bool):
         counts = [z.shape[0] for z, _ in items]
         n = sum(counts)
-        b = _pad_pow2(n)
         t, d = items[0][0].shape[-2:]
-        zp = np.zeros((b, t, d), np.float32)
-        pp = np.zeros((b, t, d), np.float32)
-        zp[:n] = np.concatenate([z for z, _ in items])
-        pp[:n] = np.concatenate([p for _, p in items])
-        img = self._decode_fn(b, plus_space)(
-            self.params, jnp.asarray(zp), jnp.asarray(pp))
-        img = to_uint8(np.asarray(img[:n], np.float32))
+        z_all = np.concatenate([z for z, _ in items]).astype(np.float32)
+        p_all = np.concatenate([p for _, p in items]).astype(np.float32)
+        imgs, done = [], 0
+        while done < n:
+            take = min(n - done, _MAX_DEVICE_BATCH)
+            b = _pad_pow2(take)
+            zp = np.zeros((b, t, d), np.float32)
+            pp = np.zeros((b, t, d), np.float32)
+            zp[:take] = z_all[done:done + take]
+            pp[:take] = p_all[done:done + take]
+            img = self._decode_fn(b, plus_space)(
+                self.params, jnp.asarray(zp), jnp.asarray(pp))
+            imgs.append(to_uint8(np.asarray(img, np.float32)[:take]))
+            done += take
+        img = np.concatenate(imgs)
         out, start = [], 0
         for c in counts:
             out.append(img[start:start + c])
