@@ -58,5 +58,11 @@ def test_lpips_diversity_three_regimes():
     assert set(out) == {"all", "fix_z", "fix_p"}
     for v in out.values():
         assert np.isfinite(v) and v >= 0.0
+
+    # a pair_chunk larger than the pair list must clamp, not fail at
+    # trace (regression: dynamic_slice of 130 on a 15-pair list)
+    out2 = evaluate_lpips_diversity(cfg, gp, lp, n_images=6,
+                                    n_batches=1, pair_chunk=130)
+    assert np.isfinite(out2["all"])
     # fixing either space removes diversity vs fully-random draws
     assert out["fix_z"] <= out["all"] and out["fix_p"] <= out["all"]

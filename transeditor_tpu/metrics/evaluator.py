@@ -128,7 +128,11 @@ def evaluate_lpips_diversity(cfg: ModelConfig, gen_params, lpips_params,
     iu = jnp.asarray(iu)
     ju = jnp.asarray(ju)
     n_pairs = len(iu)
-    assert n_pairs % pair_chunk == 0 or pair_chunk >= n_pairs
+    # a chunk larger than the pair list can't be sliced — run them all
+    # in one chunk instead
+    pair_chunk = min(pair_chunk, n_pairs)
+    assert n_pairs % pair_chunk == 0, (
+        f"pair_chunk {pair_chunk} must divide n_pairs {n_pairs}")
 
     # same-flags select a sampling SHAPE (one draw broadcast vs per-item
     # draws) — a Python-level branch, so they must be static jit args
