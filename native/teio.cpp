@@ -366,12 +366,19 @@ static void loader_worker(Loader* L, int w) {
   char key[64];
   while (!L->stop) {
     std::vector<uint8_t> frame(L->frame_bytes);
+    long retry_idx = -1;  // corrupt-record random retry, see below
     for (int b = 0; b < L->batch; ++b) {
-      if (pos >= order.size()) {
-        if (L->shuffle) std::shuffle(order.begin(), order.end(), rng);
-        pos = 0;
+      long idx;
+      if (retry_idx >= 0) {
+        idx = retry_idx;
+        retry_idx = -1;
+      } else {
+        if (pos >= order.size()) {
+          if (L->shuffle) std::shuffle(order.begin(), order.end(), rng);
+          pos = 0;
+        }
+        idx = order[pos++];
       }
-      long idx = order[pos++];
       int klen = snprintf(key, sizeof key, "%d-%05ld",
                           L->resolution, idx);
       const uint8_t* val;
@@ -383,8 +390,9 @@ static void loader_worker(Loader* L, int w) {
                               * L->resolution * 3,
                           L->resolution, L->resolution) != 0) {
         // corrupt record: mirror the reference's retry-random fallback
-        // (utils/dataset.py:38-45)
-        idx = long(rng() % uint64_t(L->n));
+        // (utils/dataset.py:38-45); the retried index is actually used
+        // on the next iteration instead of the next in-order sample
+        retry_idx = long(rng() % uint64_t(L->n));
         --b;
         continue;
       }

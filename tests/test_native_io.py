@@ -139,6 +139,33 @@ def test_loader_multiworker_deterministic(tmp_path):
         np.testing.assert_array_equal(x, y)
 
 
+def test_loader_corrupt_record_retries(tmp_path):
+    """A corrupt JPEG record must not hang or poison batches: the
+    worker retries a random index (reference utils/dataset.py:38-45)
+    and every yielded frame decodes from a VALID record."""
+    from transeditor_tpu.data.lmdb_writer import write_lmdb
+
+    imgs = [np.full((8, 8, 3), 30 * i, np.uint8) for i in range(8)]
+    items = {f"8-{i:05d}".encode(): _jpeg_bytes(im)
+             for i, im in enumerate(imgs)}
+    items[b"8-00003"] = b"not a jpeg at all"          # corrupt record
+    items[b"length"] = b"8"
+    path = str(tmp_path / "corruptdb")
+    write_lmdb(path, items)
+
+    loader = NativeLMDBLoader(path, batch=4, resolution=8, seed=0,
+                              shuffle=True, flip=False, as_uint8=True)
+    valid = {30 * i for i in range(8) if i != 3}
+    for _ in range(6):                                # several epochs
+        batch = next(loader)
+        for v in batch[:, 0, 0, 0].tolist():
+            # near SOME valid record's value — 90 (the corrupt slot)
+            # is not in the set, so a mis-yield there fails by 30
+            nearest = min(valid, key=lambda x: abs(x - v))
+            assert abs(v - nearest) < 8, v
+    loader.close()
+
+
 def test_jpeg_encode_roundtrip():
     from transeditor_tpu.data.native import encode_jpeg
     y, x = np.mgrid[0:64, 0:64]
