@@ -36,6 +36,22 @@ def test_run_swap(sampler, tmp_path):
     assert os.path.exists(tmp_path / "swap_p.png")
 
 
+def test_run_swap_asymmetric_dims(tmp_path):
+    """style_dim != param_dim: each swap leg must sample the FIXED and
+    FRESH codes with their own space's dim (regression: both used
+    style_dim and only worked because the dims matched)."""
+    cfg = ModelConfig(size=16, style_dim=32, param_dim=16,
+                      max_channels=32, n_trans=1)
+    g = Generator(cfg)
+    params = g.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, 16, 32)), jnp.zeros((1, 16, 16)))
+    s = Sampler(cfg, params)
+    run_swap(s, str(tmp_path), "z", n_sample=2, loops=2)
+    run_swap(s, str(tmp_path), "p", n_sample=2, loops=2)
+    assert os.path.exists(tmp_path / "swap_z.png")
+    assert os.path.exists(tmp_path / "swap_p.png")
+
+
 @pytest.mark.parametrize("space", ["z", "z+", "w", "p", "p+"])
 def test_run_interp_spaces(sampler, tmp_path, space):
     run_interp(sampler, str(tmp_path), space, n_rows=2, steps=3,

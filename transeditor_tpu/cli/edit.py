@@ -87,6 +87,8 @@ def main(argv=None):
     p.add_argument("--encoded_p", type=str, default=None)
     p.add_argument("--dtype", type=str, default="bfloat16")
     args = p.parse_args(argv)
+    if (args.encoded_z is None) != (args.encoded_p is None):
+        p.error("--encoded_z and --encoded_p must be given together")
     if args.attribute_index is not None:
         from transeditor_tpu.edit.celebahq_classifier import (
             CELEBAHQ_ATTRIBUTES)

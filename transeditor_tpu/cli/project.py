@@ -76,6 +76,13 @@ def main(argv=None):
     for start in range(0, len(source), args.batch):
         idx = list(range(start, min(start + args.batch, len(source))))
         imgs = np.stack([source.get(i, cfg.size) for i in idx])
+        # pad the tail batch to the compiled batch shape — a smaller
+        # final batch would otherwise retrace the whole projector
+        # program (minutes of recompile on axon for one batch)
+        n_real = len(idx)
+        if n_real < args.batch:
+            imgs = np.concatenate(
+                [imgs, np.repeat(imgs[-1:], args.batch - n_real, 0)])
         target = jnp.asarray(imgs.astype(np.float32) / 127.5 - 1.0)
         res = project(cfg, gen_params, lpips_params, target, pcfg,
                       key=jax.random.PRNGKey(start), stats=stats)
@@ -84,8 +91,8 @@ def main(argv=None):
                      to_uint8(np.asarray(target))[k])
             save_png(os.path.join(args.output_dir, f"project_{i}.png"),
                      to_uint8(res["image"])[k])
-        all_z.append(res["z_plus"])
-        all_p.append(res["p_plus"])
+        all_z.append(res["z_plus"][:n_real])
+        all_p.append(res["p_plus"][:n_real])
         print(f"[{idx[-1] + 1}/{len(source)}] final perceptual "
               f"{res['perceptual_trace'][-1]:.4f}", flush=True)
 

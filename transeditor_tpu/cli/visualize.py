@@ -98,12 +98,15 @@ def run_swap(s: Sampler, out_dir, which="z", n_sample=8, loops=8,
              truncation=1.0, seed=0):
     """Fix one space, resample the other -> identity/style swap grid."""
     cfg = s.cfg
-    fixed = sample_tokens(_key(seed), n_sample, cfg.n_tokens, cfg.style_dim,
+    # which='z': resample Z each row against a FIXED P (and vice versa)
+    fixed_dim = cfg.param_dim if which == "z" else cfg.style_dim
+    fresh_dim = cfg.style_dim if which == "z" else cfg.param_dim
+    fixed = sample_tokens(_key(seed), n_sample, cfg.n_tokens, fixed_dim,
                           truncation)
     rows = []
     for i in range(loops):
         fresh = sample_tokens(_key(seed + 1 + i), n_sample, cfg.n_tokens,
-                              cfg.style_dim, truncation)
+                              fresh_dim, truncation)
         img = s.images(fresh, fixed) if which == "z" else \
             s.images(fixed, fresh)
         rows.append(img)
@@ -151,7 +154,6 @@ def run_interp(s: Sampler, out_dir, space="z", n_rows=8, steps=8,
             img = s.images(moved, np.repeat(p[:1], len(moved), 0),
                            input_is_latent=True)
         elif space == "p":
-            zr = np.repeat(z[:1], 1, 0)
             moved = _interp_tokens_along_boundary(
                 np.asarray(sample_tokens(_key(seed + 200 + j), n_rows,
                                          cfg.n_tokens, cfg.param_dim,
