@@ -136,3 +136,36 @@ def test_discriminator_parity(ref_mod):
     d = Discriminator(CFG)
     got = np.asarray(d.apply(params, jnp.asarray(img.transpose(0, 2, 3, 1))))
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+def test_spatial_path_lengths_oracle(ref_gen, ported_gen):
+    """Spatial path-reg path_lengths parity: the reference reuses
+    g_path_regularize (train_spatial_query.py:92-105) on its
+    [B, 512, 16] P layout — .sum(2).mean(1) there is sum-over-TOKENS,
+    mean-over-FEATURES. Regression for the transposed reduction (a
+    constant sqrt(D/T) scale error in our [B, T, D] layout)."""
+    import torch.autograd as autograd
+
+    z, p = _codes(17)
+    z_t = torch.tensor(z)
+    p_t = torch.tensor(p, requires_grad=True)
+    fake, _, _ = ref_gen(z_t, p_t)
+    rng = np.random.RandomState(5)
+    noise_nchw = (rng.randn(*fake.shape).astype(np.float32)
+                  / np.sqrt(fake.shape[2] * fake.shape[3]))
+    (grad_t,) = autograd.grad((fake * torch.tensor(noise_nchw)).sum(),
+                              p_t)
+    want = torch.sqrt(grad_t.pow(2).sum(2).mean(1)).detach().numpy()
+
+    g, params = ported_gen
+
+    def proj(p_in):
+        img = g.apply(params, jnp.asarray(z.transpose(0, 2, 1)), p_in)
+        return jnp.sum(img.image
+                       * jnp.asarray(noise_nchw.transpose(0, 2, 3, 1)))
+
+    grad_j = jax.grad(proj)(jnp.asarray(p.transpose(0, 2, 1)))
+    # our [B, T, D] layout: sum over tokens (axis=1), mean over features
+    got = np.asarray(jnp.sqrt(jnp.mean(jnp.sum(grad_j ** 2, axis=1),
+                                       axis=-1)))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=2e-3)

@@ -164,10 +164,17 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig,
             return jnp.sum(img_fn(t).astype(f32) * noise_img)
 
         grad = jax.grad(proj)(target).astype(f32)
-        path_lengths = jnp.sqrt(jnp.mean(jnp.sum(grad ** 2, axis=2), axis=1))
+        # the reference reuses g_path_regularize (:92-105) whose
+        # .sum(2).mean(1) on ITS [B, 512ch, 16tok] P layout is
+        # sum-over-TOKENS, mean-over-FEATURES — in our [B, T, D]
+        # layout that is sum(axis=1), mean(axis=-1) (the swapped
+        # reduction is off by a constant sqrt(D/T))
+        path_lengths = jnp.sqrt(jnp.mean(jnp.sum(grad ** 2, axis=1),
+                                         axis=-1))
         path_mean = mean_spl + 0.01 * (jnp.mean(path_lengths) - mean_spl)
-        penalty = jnp.mean((path_lengths - jax.lax.stop_gradient(path_mean))
-                           ** 2)
+        # path_mean is NOT detached inside the penalty (g_path_regularize
+        # backprops through the running-mean update term)
+        penalty = jnp.mean((path_lengths - path_mean) ** 2)
         weighted = tcfg.spatial_path_regularize * tcfg.g_reg_every * penalty
         return weighted, (jax.lax.stop_gradient(path_mean),
                           jnp.mean(path_lengths), penalty)
