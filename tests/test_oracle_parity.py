@@ -169,3 +169,36 @@ def test_spatial_path_lengths_oracle(ref_gen, ported_gen):
     got = np.asarray(jnp.sqrt(jnp.mean(jnp.sum(grad_j ** 2, axis=1),
                                        axis=-1)))
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=2e-3)
+
+
+def test_path_lengths_oracle(ref_gen, ported_gen):
+    """Standard path-reg path_lengths parity (g_path_regularize on the
+    [B, n_latent, 512] style latents — layouts agree, proven here)."""
+    import torch.autograd as autograd
+
+    z, p = _codes(19)
+    fake, lat, _ = ref_gen(torch.tensor(z), torch.tensor(p),
+                           return_latents=True)
+    rng = np.random.RandomState(6)
+    noise_nchw = (rng.randn(*fake.shape).astype(np.float32)
+                  / np.sqrt(fake.shape[2] * fake.shape[3]))
+    (grad_t,) = autograd.grad((fake * torch.tensor(noise_nchw)).sum(),
+                              lat)
+    want = torch.sqrt(grad_t.pow(2).sum(2).mean(1)).detach().numpy()
+
+    g, params = ported_gen
+    z_j = jnp.asarray(z.transpose(0, 2, 1))
+    p_j = jnp.asarray(p.transpose(0, 2, 1))
+    zp, pp = g.apply(params, z_j, p_j, method="map_codes")
+    tokens = g.apply(params, zp, pp, method="interact_codes")
+    latent = g.apply(params, tokens, method="style_latents_from")
+    noise_nhwc = jnp.asarray(noise_nchw.transpose(0, 2, 3, 1))
+
+    def proj(lat_in):
+        img = g.apply(params, pp, lat_in, method="synthesize")
+        return jnp.sum(img * noise_nhwc)
+
+    grad_j = jax.grad(proj)(latent)
+    got = np.asarray(jnp.sqrt(jnp.mean(jnp.sum(grad_j ** 2, axis=2),
+                                       axis=1)))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=2e-3)
