@@ -122,6 +122,50 @@ def test_input_is_latent_parity(ref_gen, ported_gen):
         atol=2e-4, rtol=1e-3)
 
 
+def test_num_region_mapping_parity(ref_mod):
+    """num_region=2 ⇒ only 16/2=8 mapping layers exist and the
+    reference maps just tokens 0..7, leaving the tail of the zeros
+    buffer untouched (model_spatial_query.py:462,626-646).  Our
+    TokenMapping must reproduce the zero tail and the porter must
+    stack the reduced layer count."""
+    cfg2 = ModelConfig(size=SIZE, n_trans=2, num_region=2,
+                       pixel_norm_axis="feature")
+    torch.manual_seed(2)
+    ref_g = ref_mod.Generator(
+        SIZE, cfg2.style_dim, cfg2.param_dim, cfg2.token_dim,
+        channel_multiplier=cfg2.channel_multiplier,
+        layer_noise_injection=False, use_spatial_mapping=True,
+        num_region=2, n_trans=cfg2.n_trans, pixel_norm_op_dim=1,
+        no_trans=False)
+    ref_g.eval()
+
+    z, p = _codes(23)
+    with torch.no_grad():
+        ref_zp, ref_pp = ref_g(torch.tensor(z), torch.tensor(p),
+                               return_mapped_codes=True)
+        ref_img, _, _ = ref_g(torch.tensor(z), torch.tensor(p))
+
+    sd = {k: v.detach().numpy() for k, v in ref_g.state_dict().items()}
+    params = generator_params_from_torch(sd, cfg2)
+    g = Generator(cfg2)
+    zp, pp = g.apply(params, jnp.asarray(z.transpose(0, 2, 1)),
+                     jnp.asarray(p.transpose(0, 2, 1)), method="map_codes")
+    # tail tokens are exactly zero in both implementations
+    assert np.all(np.asarray(zp)[:, cfg2.num_mappings:] == 0.0)
+    assert np.all(ref_zp.numpy()[:, :, cfg2.num_mappings:] == 0.0)
+    np.testing.assert_allclose(
+        np.asarray(zp), ref_zp.numpy().transpose(0, 2, 1),
+        atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(pp), ref_pp.numpy().transpose(0, 2, 1),
+        atol=1e-5, rtol=1e-4)
+    out = g.apply(params, jnp.asarray(z.transpose(0, 2, 1)),
+                  jnp.asarray(p.transpose(0, 2, 1)))
+    np.testing.assert_allclose(
+        np.asarray(out.image).transpose(0, 3, 1, 2), ref_img.numpy(),
+        atol=2e-4, rtol=1e-3)
+
+
 def test_discriminator_parity(ref_mod):
     torch.manual_seed(1)
     ref_d = ref_mod.Discriminator(SIZE, channel_multiplier=2)

@@ -20,7 +20,6 @@ import os
 
 import numpy as np
 
-from transeditor_tpu.config import ModelConfig
 from transeditor_tpu.edit.classifiers import (DexVGG, PoseClassifier,
                                               make_scorer)
 from transeditor_tpu.edit.sweep import (collect_scored_latents,
@@ -65,8 +64,6 @@ def main(argv=None):
                    help="index into the 40-entry CelebA-HQ attribute "
                         "registry (reference edit_all_*_celebahq.py)")
     p.add_argument("--classifier_ckpt", type=str, default=None)
-    p.add_argument("--size", type=int, default=256)
-    p.add_argument("--num_trans", type=int, default=8)
     p.add_argument("--num_sample", type=int, default=150_000)
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--ratio", type=float, default=0.02)
@@ -85,7 +82,9 @@ def main(argv=None):
     p.add_argument("--encoded_z", type=str, default=None,
                    help="encoder-inverted z+ npy (inversion variant)")
     p.add_argument("--encoded_p", type=str, default=None)
-    p.add_argument("--dtype", type=str, default="bfloat16")
+    from transeditor_tpu.cli.common import (add_model_flags,
+                                            model_config_from_args)
+    add_model_flags(p, dtype_default="bfloat16")
     args = p.parse_args(argv)
     if (args.encoded_z is None) != (args.encoded_p is None):
         p.error("--encoded_z and --encoded_p must be given together")
@@ -97,8 +96,7 @@ def main(argv=None):
                     f"{len(CELEBAHQ_ATTRIBUTES) - 1}]")
         args.attribute = CELEBAHQ_ATTRIBUTES[args.attribute_index]
 
-    cfg = ModelConfig(size=args.size, n_trans=args.num_trans,
-                      dtype=args.dtype)
+    cfg = model_config_from_args(args)
     gen_params = load_reference_generator(args.ckpt, cfg)
     scorer = load_scorer(args)
 

@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from transeditor_tpu.config import ModelConfig
 from transeditor_tpu.data.dataset import ImageFolderSource
 from transeditor_tpu.io.checkpoint import load_reference_generator
 from transeditor_tpu.models.psp import GradualStyleEncoder, PSPModel
@@ -52,13 +51,14 @@ def main(argv=None):
     p.add_argument("--encoder_ckpt", required=True)
     p.add_argument("--data_dir", required=True)
     p.add_argument("--out_dir", required=True)
-    p.add_argument("--size", type=int, default=256)
-    p.add_argument("--num_trans", type=int, default=8)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--save_inversions", action="store_true")
+    from transeditor_tpu.cli.common import (add_model_flags,
+                                            model_config_from_args)
+    add_model_flags(p)
     args = p.parse_args(argv)
 
-    cfg = ModelConfig(size=args.size, n_trans=args.num_trans)
+    cfg = model_config_from_args(args)
     dec_params = load_reference_generator(args.decoder_ckpt, cfg)
     enc_vars, latent_avg = load_encoder_vars(args.encoder_ckpt)
 

@@ -21,7 +21,6 @@ import os
 import jax
 import jax.numpy as jnp
 
-from transeditor_tpu.config import ModelConfig
 from transeditor_tpu.io.checkpoint import load_reference_generator
 from transeditor_tpu.metrics.evaluator import (evaluate_checkpoint,
                                                load_real_stats)
@@ -34,8 +33,6 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--ckpt_dir", type=str, default=None)
-    p.add_argument("--size", type=int, default=256)
-    p.add_argument("--num_trans", type=int, default=8)
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--dataset", type=str, default="ffhq",
                    choices=["ffhq", "celeba_hq"])
@@ -65,11 +62,12 @@ def main(argv=None):
     p.add_argument("--ppl_lpips_backbone", type=str, default=None,
                    help="torchvision vgg16 state dict when "
                         "--ppl_lpips_weights is heads-only")
-    p.add_argument("--dtype", type=str, default="bfloat16")
+    from transeditor_tpu.cli.common import (add_model_flags,
+                                            model_config_from_args)
+    add_model_flags(p, dtype_default="bfloat16")
     args = p.parse_args(argv)
 
-    cfg = ModelConfig(size=args.size, n_trans=args.num_trans,
-                      dtype=args.dtype)
+    cfg = model_config_from_args(args)
     # reference protocol: 69k samples FFHQ / 29k CelebA-HQ (:55-60)
     fid_samples = args.fid_samples or (69_000 if args.dataset == "ffhq"
                                        else 29_000)

@@ -20,7 +20,6 @@ import argparse
 
 import jax
 
-from transeditor_tpu.config import ModelConfig
 from transeditor_tpu.io.torch_export import export_reference_checkpoint
 
 
@@ -33,13 +32,14 @@ def main(argv=None):
     p.add_argument("--ckpt", type=str, default=None,
                    help="reference-format .pt to round-trip instead")
     p.add_argument("--out", required=True)
-    p.add_argument("--size", type=int, default=256)
-    p.add_argument("--num_trans", type=int, default=8)
     p.add_argument("--ema_only", action="store_true",
                    help="export only g_ema (skip g/d)")
+    from transeditor_tpu.cli.common import (add_model_flags,
+                                            model_config_from_args)
+    add_model_flags(p)
     args = p.parse_args(argv)
 
-    cfg = ModelConfig(size=args.size, n_trans=args.num_trans)
+    cfg = model_config_from_args(args)
     if (args.orbax_dir is None) == (args.ckpt is None):
         p.error("pass exactly one of --orbax_dir / --ckpt")
 

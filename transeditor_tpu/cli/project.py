@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from transeditor_tpu.config import ModelConfig
 from transeditor_tpu.data.dataset import ImageFolderSource
 from transeditor_tpu.invert.projector import (ProjectorConfig,
                                               estimate_latent_stats, project)
@@ -40,8 +39,6 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt", required=True)
     p.add_argument("--dataset_dir", required=True)
-    p.add_argument("--size", type=int, default=256)
-    p.add_argument("--num_trans", type=int, default=8)
     p.add_argument("--step", type=int, default=10_000)
     p.add_argument("--lr", type=float, default=0.1)
     p.add_argument("--mse", type=float, default=0.0)
@@ -55,9 +52,12 @@ def main(argv=None):
     p.add_argument("--lpips_weights", type=str, default=None)
     p.add_argument("--output_dir", type=str,
                    default="./projection/optimization")
+    from transeditor_tpu.cli.common import (add_model_flags,
+                                            model_config_from_args)
+    add_model_flags(p)
     args = p.parse_args(argv)
 
-    cfg = ModelConfig(size=args.size, n_trans=args.num_trans)
+    cfg = model_config_from_args(args)
     gen_params = load_reference_generator(args.ckpt, cfg)
     lpips_params = load_lpips(args, cfg)
 

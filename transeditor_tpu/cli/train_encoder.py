@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from transeditor_tpu.config import ModelConfig
 from transeditor_tpu.data.dataset import ImageFolderSource, make_train_iterator
 from transeditor_tpu.io.checkpoint import load_reference_generator
 from transeditor_tpu.models.psp import PSPModel
@@ -32,8 +31,6 @@ def main(argv=None):
     p.add_argument("--dataset_dir", required=True)
     p.add_argument("--test_dataset_dir", required=True)
     p.add_argument("--exp_dir", type=str, default="./psp_out")
-    p.add_argument("--size", type=int, default=256)
-    p.add_argument("--num_trans", type=int, default=8)
     p.add_argument("--max_steps", type=int, default=500_000)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--learning_rate", type=float, default=1e-4)
@@ -48,9 +45,12 @@ def main(argv=None):
     p.add_argument("--optim_name", type=str, default="ranger")
     p.add_argument("--lpips_weights", type=str, default=None)
     p.add_argument("--arcface", type=str, default=None)
+    from transeditor_tpu.cli.common import (add_model_flags,
+                                            model_config_from_args)
+    add_model_flags(p)
     args = p.parse_args(argv)
 
-    cfg = ModelConfig(size=args.size, n_trans=args.num_trans)
+    cfg = model_config_from_args(args)
     dec_params = load_reference_generator(args.ckpt, cfg)
 
     lpips = LPIPS(net="alex")

@@ -13,23 +13,13 @@ import argparse
 import os
 
 from transeditor_tpu.config import ModelConfig, TrainConfig
+from transeditor_tpu.cli.common import add_model_flags, model_config_from_args
 from transeditor_tpu.data.dataset import ImageFolderSource, make_train_iterator
 from transeditor_tpu.train.loop import train
 
 
 def build_configs(args) -> tuple[ModelConfig, TrainConfig]:
-    cfg = ModelConfig(
-        size=args.size,
-        channel_multiplier=args.channel_multiplier,
-        layer_noise_injection=args.inject_noise,
-        use_spatial_mapping=not args.no_spatial_map,
-        num_region=args.num_region,
-        n_trans=args.num_trans,
-        pixel_norm_axis=("feature" if args.pixel_norm_op_dim == 1
-                         else "token"),
-        no_trans=args.no_trans,
-        dtype=args.dtype,
-    )
+    cfg = model_config_from_args(args)
     tcfg = TrainConfig(
         total_steps=args.iter,
         batch_size=args.batch,
@@ -46,20 +36,6 @@ def build_configs(args) -> tuple[ModelConfig, TrainConfig]:
         seed=args.seed,
     )
     return cfg, tcfg
-
-
-def add_model_flags(p: argparse.ArgumentParser):
-    """The flag set duplicated across the reference's ten entry points
-    (train_spatial_query.py:395-415 etc.) — defined once here."""
-    p.add_argument("--size", type=int, default=256)
-    p.add_argument("--channel_multiplier", type=int, default=2)
-    p.add_argument("--num_region", type=int, default=1)
-    p.add_argument("--num_trans", type=int, default=8)
-    p.add_argument("--no_trans", action="store_true")
-    p.add_argument("--no_spatial_map", action="store_true")
-    p.add_argument("--pixel_norm_op_dim", type=int, default=1)
-    p.add_argument("--inject_noise", action="store_true")
-    p.add_argument("--dtype", type=str, default="float32")
 
 
 def main(argv=None):

@@ -237,11 +237,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True,
                     help=".pt reference bundle or orbax dir")
-    ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--out", type=str, default="./generation/visual")
     ap.add_argument("--n_sample", type=int, default=8)
     ap.add_argument("--loop_num", type=int, default=10)
-    ap.add_argument("--num_trans", type=int, default=8)
     ap.add_argument("--truncation", type=float, default=1.0)
     ap.add_argument("--sample", action="store_true")
     ap.add_argument("--swap_z", action="store_true")
@@ -249,11 +247,12 @@ def main(argv=None):
     ap.add_argument("--interp", action="store_true")
     ap.add_argument("--dat_interp", action="store_true")
     ap.add_argument("--interp_num", type=int, default=6)
-    ap.add_argument("--dtype", type=str, default="bfloat16")
+    from transeditor_tpu.cli.common import (add_model_flags,
+                                            model_config_from_args)
+    add_model_flags(ap, dtype_default="bfloat16")
     args = ap.parse_args(argv)
 
-    cfg = ModelConfig(size=args.size, n_trans=args.num_trans,
-                      dtype=args.dtype)
+    cfg = model_config_from_args(args)
     params = load_reference_generator(args.ckpt, cfg)
     s = Sampler(cfg, params)
 

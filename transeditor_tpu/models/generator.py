@@ -58,10 +58,12 @@ class Generator(nn.Module):
         if cfg.use_spatial_mapping:
             self.spatial_mapping = TokenMapping(
                 cfg.n_tokens, cfg.param_dim, lr_mul=cfg.lr_mlp,
-                pixel_norm_axis=cfg.pixel_norm_axis, dtype=dtype)
+                pixel_norm_axis=cfg.pixel_norm_axis, dtype=dtype,
+                n_mapping=cfg.num_mappings)
         self.style_mapping = TokenMapping(
             cfg.n_tokens, cfg.style_dim, lr_mul=cfg.lr_mlp,
-            pixel_norm_axis=cfg.pixel_norm_axis, dtype=dtype)
+            pixel_norm_axis=cfg.pixel_norm_axis, dtype=dtype,
+            n_mapping=cfg.num_mappings)
 
         if not cfg.no_trans:
             blocks = []

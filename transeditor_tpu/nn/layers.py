@@ -99,6 +99,12 @@ class TokenMapping(nn.Module):
     EqualLinear(512,512, lr_mul=0.01, fused_lrelu) — depth 1 per token,
     16 independent layers.  Here: one stacked parameter
     [tokens, in, out] and a single einsum.
+
+    ``n_mapping`` (= 16 / num_region, reference :462) is the number of
+    mapping layers that actually exist.  The reference forward fills a
+    zeros buffer and only writes tokens 0..n_mapping-1 (:630-634), so
+    with num_region > 1 the tail tokens of the mapped code are EXACTLY
+    zero — replicated here by padding, not by extra layers.
     """
 
     n_tokens: int
@@ -106,11 +112,13 @@ class TokenMapping(nn.Module):
     lr_mul: float = 0.01
     pixel_norm_axis: str = "feature"   # 'feature' => dim over channels
     dtype: jnp.dtype = jnp.float32
+    n_mapping: Optional[int] = None    # defaults to n_tokens
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         # x: [B, T, C]
         in_dim = x.shape[-1]
+        n_map = self.n_mapping if self.n_mapping is not None else self.n_tokens
         # Reference layout is [B, C, T] with pixel_norm_op_dim=1 ==
         # feature axis; in [B, T, C] that's the last axis.
         axis = -1 if self.pixel_norm_axis == "feature" else -2
@@ -119,14 +127,17 @@ class TokenMapping(nn.Module):
         kernel = self.param(
             "kernel",
             lambda key, shape: jax.random.normal(key, shape) / self.lr_mul,
-            (self.n_tokens, in_dim, self.features))
+            (n_map, in_dim, self.features))
         bias = self.param("bias", nn.initializers.zeros,
-                          (self.n_tokens, self.features))
+                          (n_map, self.features))
         scale = self.lr_mul / math.sqrt(in_dim)
-        y = jnp.einsum("btc,tcd->btd", x.astype(self.dtype),
+        y = jnp.einsum("btc,tcd->btd", x[:, :n_map].astype(self.dtype),
                        (kernel * scale).astype(self.dtype))
         y = y + (bias * self.lr_mul).astype(y.dtype)[None]
-        return jax.nn.leaky_relu(y, 0.2) * jnp.asarray(math.sqrt(2), y.dtype)
+        y = jax.nn.leaky_relu(y, 0.2) * jnp.asarray(math.sqrt(2), y.dtype)
+        if n_map < self.n_tokens:
+            y = jnp.pad(y, ((0, 0), (0, self.n_tokens - n_map), (0, 0)))
+        return y
 
 
 class EqualConv2d(nn.Module):

@@ -4,3 +4,4 @@ from transeditor_tpu.parallel.mesh import (
     shard_params,
     param_partition_spec,
 )
+from transeditor_tpu.parallel import multihost

@@ -1,0 +1,90 @@
+"""Multi-host (multi-process) launch plumbing.
+
+The reference launches one process per GPU via ``torch.distributed.launch``
+and NCCL ``init_process_group('env://')`` (``train_spatial_query.py:425-428``,
+``README.md:45-49``).  The JAX analogue is one process per HOST:
+``jax.distributed.initialize`` wires the coordination service, after which
+``jax.devices()`` spans every chip in the slice and a single global
+``Mesh`` covers them — collectives ride ICI within a slice and DCN across
+slices with no further code.
+
+Everything degrades to a no-op in the single-process case, so the same
+training entry point serves both.
+
+Env protocol (set by the pod launcher; all optional on Cloud TPU where
+JAX auto-detects):
+  * ``COORDINATOR_ADDRESS`` — host:port of process 0
+  * ``NUM_PROCESSES``       — world size
+  * ``PROCESS_ID``          — this process's rank
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize(coordinator: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> bool:
+    """``jax.distributed.initialize`` from args or env; returns True if a
+    multi-process runtime was initialized (the reference's WORLD_SIZE>1
+    trigger, train_spatial_query.py:422-428)."""
+    coordinator = coordinator or os.environ.get("COORDINATOR_ADDRESS")
+    num_processes = num_processes or _env_int("NUM_PROCESSES")
+    process_id = process_id if process_id is not None else _env_int(
+        "PROCESS_ID")
+    if num_processes is None or num_processes <= 1:
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
+def _env_int(name: str) -> Optional[int]:
+    v = os.environ.get(name)
+    return int(v) if v not in (None, "") else None
+
+
+def process_index() -> int:
+    """This host's rank (the reference get_rank(),
+    utils/distributed.py:7-13)."""
+    return jax.process_index()
+
+
+def process_count() -> int:
+    """World size in hosts (the reference get_world_size(),
+    utils/distributed.py:32-39)."""
+    return jax.process_count()
+
+
+def is_main() -> bool:
+    """rank-0 gate for logging/sampling (reference ``get_rank() == 0``)."""
+    return jax.process_index() == 0
+
+
+def local_batch_size(global_batch: int) -> int:
+    """Per-host slice of the global batch (the DistributedSampler
+    analogue: each host loads 1/world_size of every global batch)."""
+    n = jax.process_count()
+    if global_batch % n:
+        raise ValueError(f"global batch {global_batch} not divisible by "
+                         f"{n} processes")
+    return global_batch // n
+
+
+def global_batch(mesh: Mesh, local: np.ndarray) -> jax.Array:
+    """Assemble a data-sharded GLOBAL array from this host's local batch.
+
+    Single-process: equivalent to ``device_put`` with a 'data' sharding.
+    Multi-process: each host contributes its shard; no host ever
+    materializes the global batch (``jax.make_array_from_process_local_data``
+    is the host-sharded input path for pjit-style programs).
+    """
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.make_array_from_process_local_data(sharding, np.asarray(local))

@@ -356,17 +356,16 @@ def main(argv=None):
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--orbax_dir", type=str, default=None)
     p.add_argument("--step", type=int, default=None)
-    p.add_argument("--size", type=int, default=256)
-    p.add_argument("--num_trans", type=int, default=8)
-    p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--warmup", type=int, default=64,
                    help="pre-compile pow2 batch programs up to this "
                         "size before serving (0 disables)")
+    from transeditor_tpu.cli.common import (add_model_flags,
+                                            model_config_from_args)
+    add_model_flags(p, dtype_default="bfloat16")
     args = p.parse_args(argv)
-    cfg = ModelConfig(size=args.size, n_trans=args.num_trans,
-                      dtype=args.dtype)
+    cfg = model_config_from_args(args)
     engine = engine_from_checkpoint(cfg, args.ckpt, args.orbax_dir,
                                     args.step)
     if args.warmup > 0:

@@ -10,6 +10,7 @@ step with host-side Python only deciding WHICH compiled variant runs.
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Iterator, Optional
@@ -21,7 +22,8 @@ import numpy as np
 from transeditor_tpu.config import ModelConfig, TrainConfig
 from transeditor_tpu.io.checkpoint import save_train_state, wait_for_saves
 from transeditor_tpu.models import Generator
-from transeditor_tpu.parallel import create_mesh, shard_batch, shard_params
+from transeditor_tpu.parallel import create_mesh, shard_params
+from transeditor_tpu.parallel.multihost import global_batch, is_main
 from transeditor_tpu.train.gan import (GANTrainState, init_state,
                                        make_train_step)
 from transeditor_tpu.utils.image import make_grid, save_png
@@ -87,14 +89,26 @@ def train(
     ckpt_dir = os.path.join(out_dir, exp_name, "checkpoint")
     os.makedirs(sample_dir, exist_ok=True)
     os.makedirs(ckpt_dir, exist_ok=True)
-    logger = MetricLogger(os.path.join(out_dir, exp_name, "tb"))
+    # rank-0 logging/sampling, like the reference's get_rank()==0 gates
+    # (train_spatial_query.py:308-359); checkpoints save on every host
+    # (orbax coordinates multi-host saves itself)
+    rank0 = is_main()
+    logger = MetricLogger(os.path.join(out_dir, exp_name, "tb")
+                          if rank0 else None)
 
     # fixed visualization latents (reference :162-163)
     sample_key = jax.random.PRNGKey(tcfg.seed + 1)
     sample_z, sample_p = sample_zp(sample_key, tcfg.n_sample,
                                    cfg.n_tokens, cfg.style_dim)
 
-    @jax.jit
+    # replicated output so rank 0 can fetch the grid even when params
+    # ride a multi-host mesh
+    out_sharding = None
+    if mesh is not None:
+        from transeditor_tpu.parallel.mesh import replicated
+        out_sharding = replicated(mesh)
+
+    @functools.partial(jax.jit, out_shardings=out_sharding)
     def ema_sample(g_ema):
         out = gen.apply({"params": g_ema}, sample_z, sample_p)
         return out.image
@@ -106,7 +120,12 @@ def train(
     for i in range(start_step, end):
         real = next(data_iter)
         if mesh is not None:
-            real = shard_batch(jnp.asarray(real), mesh)
+            # multi-host: `real` is this host's local shard and the
+            # result is the data-sharded global batch; single-host:
+            # plain device_put with the 'data' sharding
+            real = global_batch(mesh, real)
+        else:
+            real = jnp.asarray(real)
         rng, step_key = jax.random.split(rng)
         state, metrics = step_fn(
             state, real, step_key,
@@ -118,14 +137,14 @@ def train(
 
         # materialising metrics forces a device sync; only do it on the
         # logging cadence so steps pipeline back-to-back in between
-        if i % logger.log_every == 0:
+        if rank0 and i % logger.log_every == 0:
             dt = time.perf_counter() - t0
             metrics = dict(metrics)
             metrics["imgs_per_sec"] = imgs_seen / max(dt, 1e-9)
             t0, imgs_seen = time.perf_counter(), 0
             logger.log(i, {k: float(v) for k, v in metrics.items()})
 
-        if i % tcfg.sample_every == 0:
+        if rank0 and i % tcfg.sample_every == 0:
             grid = make_grid(np.asarray(ema_sample(state.g_ema),
                                         np.float32),
                              nrow=int(tcfg.n_sample ** 0.5))
