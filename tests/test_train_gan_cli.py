@@ -1,0 +1,44 @@
+"""End-to-end smoke of the train_gan CLI (the train_spatial_query.py
+entry point): image folder in, 3 steps on a tiny model, artifacts out.
+Exercises the single-process multihost degradation and the shared
+architecture flags along the way."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_train_gan_cli_smoke(tmp_path, monkeypatch):
+    from PIL import Image
+    from transeditor_tpu.cli import train_gan
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(8):
+        Image.fromarray(rng.randint(0, 256, (16, 16, 3),
+                                    dtype=np.uint8)).save(
+            data_dir / f"{i}.png")
+
+    # keep the model tiny: the CLI flag set must carry it end to end
+    monkeypatch.setattr(
+        "transeditor_tpu.cli.train_gan.train",
+        _wrap_max_steps(train_gan.train, 3))
+    train_gan.main([
+        str(data_dir), "--exp_name", "t", "--iter", "3",
+        "--batch", "4", "--n_sample", "4",
+        "--size", "16", "--num_trans", "1", "--dtype", "float32",
+        "--out_dir", str(tmp_path / "out"),
+    ])
+    out = tmp_path / "out" / "t"
+    assert os.path.exists(out / "sample" / "000000.png")
+    assert os.path.isdir(out / "checkpoint")
+
+
+def _wrap_max_steps(train_fn, n):
+    def wrapped(*a, **kw):
+        kw["max_steps"] = n
+        return train_fn(*a, **kw)
+    return wrapped

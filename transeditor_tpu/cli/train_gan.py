@@ -63,19 +63,36 @@ def main(argv=None):
     add_model_flags(p)
     args = p.parse_args(argv)
 
+    # multi-host: one process per host, triggered by the env protocol
+    # (COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID) — the reference's
+    # WORLD_SIZE-triggered NCCL init (train_spatial_query.py:422-428).
+    # Must run before any other jax call so the backend sees the slice.
+    from transeditor_tpu.parallel import multihost
+    if multihost.initialize():
+        print(f"multi-host: process {multihost.process_index()}/"
+              f"{multihost.process_count()}")
+
     cfg, tcfg = build_configs(args)
+    # tcfg.batch_size is the GLOBAL batch; each host loads its
+    # 1/process_count slice (the DistributedSampler analogue) and the
+    # train loop assembles the host-sharded global array.
+    local_batch = multihost.local_batch_size(tcfg.batch_size)
+    host_kw = dict(host_index=multihost.process_index(),
+                   host_count=multihost.process_count())
     if args.lmdb or os.path.exists(os.path.join(args.path, "data.mdb")):
         from transeditor_tpu.data.native import NativeLMDBLoader
         # uint8 frames + on-device normalization; decode fans out over
         # the host cores
-        data = NativeLMDBLoader(args.path, tcfg.batch_size, cfg.size,
+        data = NativeLMDBLoader(args.path, local_batch, cfg.size,
                                 seed=tcfg.seed, as_uint8=True,
-                                workers=max(1, (os.cpu_count() or 2) - 1))
+                                workers=max(1, (os.cpu_count() or 2) - 1),
+                                **host_kw)
     else:
         source = ImageFolderSource(args.path)
         # uint8 batches; the train step normalizes on device
-        data = make_train_iterator(source, tcfg.batch_size, cfg.size,
-                                   seed=tcfg.seed, normalize=False)
+        data = make_train_iterator(source, local_batch, cfg.size,
+                                   seed=tcfg.seed, normalize=False,
+                                   **host_kw)
     state, start_step = None, 0
     if args.resume:
         import jax

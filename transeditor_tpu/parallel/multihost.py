@@ -88,3 +88,50 @@ def global_batch(mesh: Mesh, local: np.ndarray) -> jax.Array:
     """
     sharding = NamedSharding(mesh, P("data"))
     return jax.make_array_from_process_local_data(sharding, np.asarray(local))
+
+
+# -- the reference's utils/distributed.py helper surface ----------------
+#
+# In the reference these are explicit NCCL calls; here the training hot
+# path never needs them (XLA inserts the collectives from shardings),
+# so they exist for host-side orchestration: eval fan-outs that gather
+# per-host results, barriers around checkpoint IO, seeding.
+
+def synchronize(name: str = "barrier") -> None:
+    """Cross-host barrier (reference ``synchronize()``,
+    utils/distributed.py:17-29).  No-op single-process."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)
+
+
+def all_gather_host(data):
+    """Gather an arbitrary pytree of arrays from every host; returns
+    stacked-per-leaf values with a leading process axis (the reference's
+    pickle ``all_gather``, utils/distributed.py:67-99).  Single-process:
+    adds the length-1 leading axis."""
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: np.asarray(x)[None], data)
+    from jax.experimental import multihost_utils
+    return multihost_utils.process_allgather(data)
+
+
+def reduce_loss_dict(metrics: dict) -> dict:
+    """Mean of each scalar across hosts (the reference's
+    ``reduce_loss_dict``, utils/distributed.py:102-124, which reduces to
+    rank 0 and divides by world size — here every host gets the mean)."""
+    if jax.process_count() == 1:
+        return {k: float(v) for k, v in metrics.items()}
+    gathered = all_gather_host(
+        {k: np.asarray(float(v), np.float32) for k, v in metrics.items()})
+    return {k: float(np.mean(v)) for k, v in gathered.items()}
+
+
+def broadcast_from_main(data):
+    """Host-0's value everywhere (used for shared seeds / sampled
+    boundaries; the ``dist.broadcast`` analogue)."""
+    if jax.process_count() == 1:
+        return data
+    from jax.experimental import multihost_utils
+    return multihost_utils.broadcast_one_to_all(data)
