@@ -78,3 +78,22 @@ def test_sharded_step_8dev():
                         do_d_reg=True, do_g_reg=True)
     assert np.isfinite(float(m["d"]))
     assert np.isfinite(float(m["r1"]))
+
+
+def test_donated_step_matches_plain():
+    """`donate=True` is a pure buffer-aliasing hint — the donated step
+    must produce bit-identical results to the plain step."""
+    state_a = init_state(CFG, TCFG, jax.random.PRNGKey(0))
+    state_b = init_state(CFG, TCFG, jax.random.PRNGKey(0))
+    real = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 3))
+    key = jax.random.PRNGKey(7)
+    plain = make_train_step(CFG, TCFG)
+    donated = make_train_step(CFG, TCFG, donate=True)
+    sa, ma = plain(state_a, real, key, do_d_reg=True, do_g_reg=True)
+    sb, mb = donated(state_b, real, key, do_d_reg=True, do_g_reg=True)
+    for k in ma:
+        assert float(ma[k]) == float(mb[k]), k
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), sa.params_g, sb.params_g)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), sa.params_d, sb.params_d)

@@ -85,8 +85,17 @@ def init_state(cfg: ModelConfig, tcfg: TrainConfig, rng: jax.Array,
 
 def make_train_step(cfg: ModelConfig, tcfg: TrainConfig,
                     gen: Optional[Generator] = None,
-                    disc: Optional[Discriminator] = None) -> Callable:
-    """Build the pure train step.  Call with static (do_d_reg, do_g_reg)."""
+                    disc: Optional[Discriminator] = None,
+                    donate: bool = False) -> Callable:
+    """Build the pure train step.  Call with static (do_d_reg, do_g_reg).
+
+    ``donate=True`` donates the input state's buffers to the step so
+    XLA updates params/optimizer state in place (halves the state's
+    peak HBM footprint).  The caller must not read the passed-in state
+    afterwards — the training loop's ``state = step(state, ...)``
+    pattern satisfies this; tests that compare before/after trees must
+    keep the default.
+    """
     gen = gen or Generator(cfg)
     disc = disc or Discriminator(cfg)
     g_opt, d_opt = make_optimizers(tcfg)
@@ -181,8 +190,12 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig,
 
     # ---------------- the step ----------------
 
-    @functools.partial(jax.jit, static_argnames=("do_d_reg", "do_g_reg",
-                                                 "do_spatial_reg"))
+    jit_kwargs = dict(static_argnames=("do_d_reg", "do_g_reg",
+                                       "do_spatial_reg"))
+    if donate:
+        jit_kwargs["donate_argnums"] = (0,)
+
+    @functools.partial(jax.jit, **jit_kwargs)
     def train_step(state: GANTrainState, real: jax.Array, rng: jax.Array,
                    do_d_reg: bool = False, do_g_reg: bool = False,
                    do_spatial_reg: bool = False):
