@@ -33,6 +33,24 @@ def conv2d(x, w, b=None, stride=1, padding=0):
     return y
 
 
+def adaptive_avg_pool_2d(x, out_hw=(7, 7)):
+    """torch.nn.AdaptiveAvgPool2d semantics, NHWC, static shapes:
+    output cell i averages input rows floor(i*n/out)..ceil((i+1)*n/out)-1.
+    Expressed as two small matmuls so XLA maps it onto the MXU."""
+    def pool_matrix(n_in, n_out):
+        m = np.zeros((n_out, n_in), np.float32)
+        for i in range(n_out):
+            a = (i * n_in) // n_out
+            b = -((-(i + 1) * n_in) // n_out)   # ceil
+            m[i, a:b] = 1.0 / (b - a)
+        return jnp.asarray(m)
+
+    mh = pool_matrix(x.shape[1], out_hw[0])
+    mw = pool_matrix(x.shape[2], out_hw[1])
+    x = jnp.einsum("oh,bhwc->bowc", mh, x)
+    return jnp.einsum("pw,bowc->bopc", mw, x)
+
+
 def max_pool(x, window=3, stride=2, padding=0):
     return lax.reduce_window(
         x, -jnp.inf, lax.max, (1, window, window, 1),
@@ -124,10 +142,11 @@ class VGG16Fc7(nn.Module):
                            (item,))
             x = jax.nn.relu(conv2d(x, w, b, 1, 1))
             conv_idx += 1
-        # adaptive avg pool to 7x7 (torchvision) — input 224 gives 7x7
-        if x.shape[1] != 7:
-            x = jax.image.resize(x, (x.shape[0], 7, 7, x.shape[3]),
-                                 "linear")
+        # adaptive avg pool to 7x7, exactly torchvision's AvgPool —
+        # the PRDC protocol feeds 256px images, so this is the live
+        # 8x8 -> 7x7 path, not just a 224px no-op
+        if x.shape[1] != 7 or x.shape[2] != 7:
+            x = adaptive_avg_pool_2d(x, (7, 7))
         b0 = x.shape[0]
         x = jnp.transpose(x, (0, 3, 1, 2)).reshape(b0, -1)  # channel-major
         fc6_w = self.param("fc6_w", nn.initializers.normal(0.01),
