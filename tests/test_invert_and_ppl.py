@@ -77,10 +77,11 @@ def test_project_with_noise_optimization(gen_params, lpips_params):
                   key=jax.random.PRNGKey(6))
     assert "noises" in res
     assert len(res["noises"]) == cfg.num_layers
-    # normalized noise maps: mean ~0, std ~1
+    # normalized noise maps: mean ~0, UNBIASED std ~1 (torch .std()
+    # semantics — see tests/test_projector_oracle.py)
     n0 = res["noises"][1]
     np.testing.assert_allclose(n0.mean(), 0.0, atol=1e-4)
-    np.testing.assert_allclose(n0.std(), 1.0, atol=1e-3)
+    np.testing.assert_allclose(n0.std(ddof=1), 1.0, atol=1e-3)
 
 
 def test_ppl_smoke(gen_params, lpips_params):

@@ -79,11 +79,15 @@ def noise_regularize(noises):
 
 
 def noise_normalize(noises):
-    """(noise - mean) / std, per map (reference :44-49)."""
+    """(noise - mean) / std, per map (reference :44-49).
+
+    torch ``Tensor.std()`` is the UNBIASED estimator — ddof=1 matters
+    on the small maps (sqrt(16/15) ≈ 3% on the 4x4 one).
+    """
     out = []
     for n in noises:
         mean = jnp.mean(n)
-        std = jnp.std(n)
+        std = jnp.std(n, ddof=1)
         out.append((n - mean) / (std + 1e-12))
     return out
 
