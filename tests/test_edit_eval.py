@@ -54,3 +54,25 @@ def test_build_scorers_dispatches_pose(tmp_path):
     img = np.zeros((2, 64, 64, 3), np.float32)
     scores = np.asarray(scorers["pose"](img))
     assert scores.shape == (2,) and np.all(np.isfinite(scores))
+
+
+def test_id_inception_mode(tmp_path, capsys):
+    """--id_inception reports pool3-feature ID drift per space (the
+    reference editing_evaluate_id.py protocol); identical strip
+    images must give similarity ~1."""
+    from transeditor_tpu.cli.edit_eval import main
+
+    d = tmp_path / "z_plus"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    img = rng.uniform(-1, 1, (16, 16, 3)).astype(np.float32)
+    for j in range(3):   # identical image at every edit step
+        save_png(str(d / f"origin_0_edit_{j}_age_42.png"),
+                 to_uint8(img[None])[0])
+    out = tmp_path / "report.json"
+    main(["--strips_dir", str(tmp_path), "--edited_attr", "age",
+          "--id_inception", "--out", str(out)])
+    import json
+    report = json.loads(out.read_text())
+    sim = report["id_preservation_inception"]["z_plus"]
+    assert abs(sim - 1.0) < 1e-3

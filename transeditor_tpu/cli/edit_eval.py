@@ -74,6 +74,11 @@ def main(argv=None):
     ap.add_argument("--classifier", nargs="*", default=None,
                     help="attr=ckpt.pth pairs")
     ap.add_argument("--arcface", type=str, default=None)
+    ap.add_argument("--id_inception", nargs="?", const="", default=None,
+                    help="also report ID drift in InceptionV3 pool3 "
+                         "feature space (the reference's "
+                         "editing_evaluate_id.py protocol); optional "
+                         "value = pt_inception weights path")
     ap.add_argument("--boundaries", nargs="*", default=None,
                     help="boundary .npy files to cross-compare")
     ap.add_argument("--out", type=str, default=None)
@@ -126,6 +131,47 @@ def main(argv=None):
                     embed, np.repeat(mid, len(imgs), 0), imgs).mean())
             ids[space] = float(np.mean(sims))
         report["id_preservation"] = ids
+
+    if args.id_inception is not None:
+        # the reference's ID metric (editing_evaluate_id.py:148-196 +
+        # calculate_score_id.py:66-79): cosine drift of InceptionV3
+        # pool3 features between each edited step and the strip
+        # center.  (The reference feeds the net tensors scaled by 255
+        # on top of [-1,1] normalisation — an apparent bug we don't
+        # reproduce; inputs here are plain [-1,1].)  We report mean
+        # cosine SIMILARITY per space (1 - the reference's distance).
+        import jax
+        import jax.numpy as jnp
+        from transeditor_tpu.metrics.inception import (
+            InceptionV3Features, port_fid_inception_weights)
+        inc = InceptionV3Features(resize_input=True,
+                                  normalize_input=False)
+        if args.id_inception:
+            from transeditor_tpu.io.torch_port import load_torch_checkpoint
+            inc_vars = port_fid_inception_weights(
+                load_torch_checkpoint(args.id_inception))
+        else:
+            print("WARNING: random InceptionV3 (pass a weights path "
+                  "with --id_inception for reportable values)")
+            inc_vars = jax.jit(inc.init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+        def embed_inc(img):
+            # id_preservation expects l2-normalised embeddings
+            f = np.asarray(inc.apply(inc_vars, jnp.asarray(img)))
+            return f / (np.linalg.norm(f, axis=-1, keepdims=True)
+                        + 1e-12)
+
+        ids_inc = {}
+        for space, samples in strips.items():
+            sims = []
+            for i, imgs in samples.items():
+                mid = imgs[len(imgs) // 2][None]
+                sims.append(id_preservation(
+                    embed_inc, np.repeat(mid, len(imgs), 0),
+                    imgs).mean())
+            ids_inc[space] = float(np.mean(sims))
+        report["id_preservation_inception"] = ids_inc
 
     if args.boundaries and len(args.boundaries) >= 2:
         cos = {}
