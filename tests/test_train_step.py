@@ -97,3 +97,20 @@ def test_donated_step_matches_plain():
         np.asarray(a), np.asarray(b)), sa.params_g, sb.params_g)
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a), np.asarray(b)), sa.params_d, sb.params_d)
+
+
+def test_noise_injection_train_step():
+    """Full step with layer noise injection ON (--inject_noise,
+    reference train_spatial_query.py:402): both 2nd-order regs must
+    differentiate through the per-layer noise rngs."""
+    cfg = ModelConfig(size=16, style_dim=32, param_dim=32,
+                      max_channels=32, n_trans=1,
+                      layer_noise_injection=True)
+    state = init_state(cfg, TCFG, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, TCFG)
+    real = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 3))
+    new_state, m = step(state, real, jax.random.PRNGKey(2),
+                        do_d_reg=True, do_g_reg=True)
+    for k in ("d", "g", "r1", "path"):
+        assert np.isfinite(float(m[k])), k
+    assert int(new_state.step) == 1
