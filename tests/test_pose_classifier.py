@@ -87,3 +87,72 @@ def test_pose_classifier_parity():
     got = np.asarray(PoseClassifier().apply(
         variables, jnp.asarray(img.transpose(0, 2, 3, 1))))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_pose_classifier_reference_module_oracle():
+    """Import the REFERENCE ClassifyModel itself (ffhq_utils/dex/
+    models.py:73-89) against a stub torchvision resnet18 whose
+    children() order matches torchvision's, so its children[:-1]
+    slicing / flatten / softmax are the oracle — not a replica."""
+    import importlib.util
+    import sys
+    import types
+
+    class _StubResNet18(tnn.Module):
+        def __init__(self):
+            super().__init__()
+
+            def layer(cin, cout, stride):
+                return tnn.Sequential(TorchBasicBlock(cin, cout, stride),
+                                      TorchBasicBlock(cout, cout))
+
+            self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.relu = tnn.ReLU(inplace=True)
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+            self.layer1 = layer(64, 64, 1)
+            self.layer2 = layer(64, 128, 2)
+            self.layer3 = layer(128, 256, 2)
+            self.layer4 = layer(256, 512, 2)
+            self.avgpool = tnn.AdaptiveAvgPool2d((1, 1))
+            self.fc = tnn.Linear(512, 1000)
+
+    tv = types.ModuleType("torchvision")
+    tvm = types.ModuleType("torchvision.models")
+    tvm.resnet18 = lambda *a, **k: _StubResNet18()
+    tv.models = tvm
+    saved = {n: sys.modules.get(n)
+             for n in ("torchvision", "torchvision.models")}
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = tvm
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_dex_models",
+            "/root/reference/our_interfaceGAN/ffhq_utils/dex/models.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        for n, m in saved.items():
+            if m is None:
+                sys.modules.pop(n, None)
+            else:
+                sys.modules[n] = m
+
+    torch.manual_seed(5)
+    ref = mod.ClassifyModel(n_class=2)
+    for m in ref.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.2)
+            m.running_var.uniform_(0.5, 1.5)
+    ref.eval()
+
+    rng = np.random.RandomState(11)
+    img = rng.randn(2, 3, 64, 64).astype(np.float32) * 0.5
+    with torch.no_grad():
+        want = ref(torch.tensor(img)).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    got = np.asarray(PoseClassifier().apply(
+        port_pose_classifier(sd),
+        jnp.asarray(img.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
