@@ -87,3 +87,54 @@ def test_gradual_style_encoder_parity():
     np.testing.assert_allclose(np.asarray(p),
                                p_ref.numpy().transpose(0, 2, 1),
                                atol=5e-4, rtol=1e-3)
+
+
+def test_backbone_encoder_into_w_parity():
+    from types import SimpleNamespace
+    from pSp.models.encoders.psp_encoders_new import (
+        BackboneEncoderUsingLastLayerIntoW as RefW)
+    from transeditor_tpu.io.zoo_port import port_backbone_encoder_into_w
+    from transeditor_tpu.models.psp import BackboneEncoderIntoW
+
+    torch.manual_seed(1)
+    ref = RefW(50, "ir_se", SimpleNamespace(input_nc=3))
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    rng = np.random.RandomState(3)
+    img = rng.randn(2, 3, 256, 256).astype(np.float32) * 0.5
+    with torch.no_grad():
+        want = ref(torch.tensor(img)).numpy()
+
+    enc = BackboneEncoderIntoW(train=False)
+    got = np.asarray(enc.apply(port_backbone_encoder_into_w(sd),
+                               jnp.asarray(img.transpose(0, 2, 3, 1))))
+    assert got.shape == want.shape == (2, 512)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_backbone_encoder_into_wplus_parity():
+    """Also pins the AdaptiveAvgPool2d((7,7)) on the 16x16 trunk
+    output (psp_encoders_new.py:191)."""
+    from types import SimpleNamespace
+    from pSp.models.encoders.psp_encoders_new import (
+        BackboneEncoderUsingLastLayerIntoWPlus as RefWPlus)
+    from transeditor_tpu.io.zoo_port import (
+        port_backbone_encoder_into_wplus)
+    from transeditor_tpu.models.psp import BackboneEncoderIntoWPlus
+
+    torch.manual_seed(2)
+    ref = RefWPlus(50, "ir_se", SimpleNamespace(input_nc=3))
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    rng = np.random.RandomState(4)
+    img = rng.randn(1, 3, 256, 256).astype(np.float32) * 0.5
+    with torch.no_grad():
+        want = ref(torch.tensor(img)).numpy()
+
+    enc = BackboneEncoderIntoWPlus(train=False)
+    got = np.asarray(enc.apply(port_backbone_encoder_into_wplus(sd),
+                               jnp.asarray(img.transpose(0, 2, 3, 1))))
+    assert got.shape == want.shape == (1, 18, 512)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)

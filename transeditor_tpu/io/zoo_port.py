@@ -132,3 +132,40 @@ def port_gradual_style_encoder(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     params["adjust_style"] = {"kernel": sd["adjust_style.weight"].T,
                               "bias": sd["adjust_style.bias"]}
     return {"params": params, "batch_stats": stats}
+
+
+def port_backbone_encoder_into_w(sd: Dict[str, np.ndarray],
+                                 num_layers: int = 50,
+                                 use_se: bool = True) -> Dict[str, Any]:
+    """BackboneEncoderUsingLastLayerIntoW (psp_encoders_new.py:143-173)
+    -> models/psp.py::BackboneEncoderIntoW variables."""
+    trunk_p, trunk_s = port_irse_backbone(sd, num_layers=num_layers,
+                                          use_se=use_se)
+    params = {"trunk": trunk_p,
+              "linear": {"kernel": sd["linear.weight"].T,
+                         "bias": sd["linear.bias"]}}
+    return {"params": params, "batch_stats": {"trunk": trunk_s}}
+
+
+def port_backbone_encoder_into_wplus(sd: Dict[str, np.ndarray],
+                                     num_layers: int = 50,
+                                     use_se: bool = True
+                                     ) -> Dict[str, Any]:
+    """BackboneEncoderUsingLastLayerIntoWPlus
+    (psp_encoders_new.py:176-209) ->
+    models/psp.py::BackboneEncoderIntoWPlus variables.  The torch
+    Flatten on [B,512,7,7] is channel-major, matching our NCHW-ordered
+    reshape, so the 25088->512 Linear ports with a plain transpose."""
+    trunk_p, trunk_s = port_irse_backbone(sd, num_layers=num_layers,
+                                          use_se=use_se)
+    bn_p, bn_s = _bn(sd, "output_layer_2.0")
+    params = {
+        "trunk": trunk_p,
+        "out_bn": bn_p,
+        "out_linear": {"kernel": sd["output_layer_2.3.weight"].T,
+                       "bias": sd["output_layer_2.3.bias"]},
+        "linear": {"kernel": sd["linear.weight"].T,
+                   "bias": sd["linear.bias"]},
+    }
+    return {"params": params,
+            "batch_stats": {"trunk": trunk_s, "out_bn": bn_s}}

@@ -147,9 +147,11 @@ class BackboneEncoderIntoWPlus(nn.Module):
         _, x = IRSEBackbone(self.num_layers, self.mode, taps=(),
                             train=self.train, name="trunk")(x)
         x = BatchNorm(not self.train, name="out_bn")(x)
-        if x.shape[1] != 7:
-            x = jax.image.resize(x, (x.shape[0], 7, 7, x.shape[-1]),
-                                 "linear")
+        # AdaptiveAvgPool2d((7,7)) exactly (psp_encoders_new.py:191) —
+        # live path: the trunk emits 16x16 at 256px input
+        if x.shape[1] != 7 or x.shape[2] != 7:
+            from transeditor_tpu.zoo.backbones import adaptive_avg_pool_2d
+            x = adaptive_avg_pool_2d(x, (7, 7))
         b = x.shape[0]
         x = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, -1)
         x = nn.Dense(512, dtype=x.dtype, name="out_linear")(x)
