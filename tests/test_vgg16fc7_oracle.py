@@ -51,7 +51,10 @@ def _torch_vgg16_fc7():
     return m.eval()
 
 
-@pytest.mark.parametrize("n_in,n_out", [(8, 7), (2, 7), (4, 7), (7, 7)])
+@pytest.mark.parametrize("n_in,n_out",
+                         [(8, 7), (2, 7), (4, 7), (7, 7),
+                          (188, 112),    # the ArcFace face_pool shape
+                          (16, 7)])      # the IntoWPlus trunk shape
 def test_adaptive_avg_pool_matches_torch(n_in, n_out):
     g = torch.Generator().manual_seed(0)
     x = torch.randn((2, 5, n_in, n_in), generator=g)

@@ -195,15 +195,13 @@ def evaluate_prdc(cfg: ModelConfig, gen_params, vgg_params, real_source,
         z = _shard_batch_constraint(z, mesh)
         p = _shard_batch_constraint(p, mesh)
         img = gen.apply(gp, z, p).image.astype(jnp.float32)
-        img224 = jax.image.resize(img, (batch, 224, 224, 3), "bilinear")
-        return vgg.apply(vp, img224)
+        # the reference feeds vgg16 at NATIVE size (no 224 resize,
+        # calc_prdc.py:17-29) — the adaptive pool handles 8x8 -> 7x7
+        return vgg.apply(vp, img)
 
     @jax.jit
     def real_features(vp, img):
-        img224 = jax.image.resize(
-            img.astype(jnp.float32),
-            (img.shape[0], 224, 224, 3), "bilinear")
-        return vgg.apply(vp, img224)
+        return vgg.apply(vp, img.astype(jnp.float32))
 
     key = jax.random.PRNGKey(seed)
     fake, real = [], []

@@ -179,8 +179,11 @@ class InceptionV3Features(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.resize_input:
+            # F.interpolate(bilinear, align_corners=False), which does
+            # not antialias even when downscaling (inception.py:147-150)
             x = jax.image.resize(
-                x, (x.shape[0], 299, 299, x.shape[3]), "bilinear")
+                x, (x.shape[0], 299, 299, x.shape[3]), "bilinear",
+                antialias=False)
         if self.normalize_input:
             x = 2 * x - 1
         x = ConvBN(32, (3, 3), stride=(2, 2), name="Conv2d_1a_3x3")(x)

@@ -96,8 +96,12 @@ def make_ppl_batch_fn(cfg: ModelConfig, gen_params, lpips_params,
         if crop:
             img = center_crop(img)
         if img.shape[1] > 256:
+            # F.interpolate(bilinear, align_corners=False) does NOT
+            # antialias — match it (jax antialiases by default on
+            # downscale)
             img = jax.image.resize(
-                img, (img.shape[0], 256, 256, 3), "bilinear")
+                img, (img.shape[0], 256, 256, 3), "bilinear",
+                antialias=False)
         d = lpips.apply(lpp, img[0::2], img[1::2])
         return d / (eps * eps)
 

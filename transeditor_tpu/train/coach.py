@@ -68,8 +68,10 @@ def face_crop(img):
 
 
 def resize_112(img):
-    return jax.image.resize(img, (img.shape[0], 112, 112, img.shape[-1]),
-                            "bilinear")
+    """AdaptiveAvgPool2d((112,112)) exactly — the reference face_pool
+    (id_loss.py:14) pools the 188x188 crop, it does not resize."""
+    from transeditor_tpu.zoo.backbones import adaptive_avg_pool_2d
+    return adaptive_avg_pool_2d(img, (112, 112))
 
 
 def make_coach(cfg: ModelConfig, ccfg: CoachConfig, dec_params,
