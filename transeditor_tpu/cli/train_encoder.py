@@ -39,7 +39,8 @@ def main(argv=None):
     p.add_argument("--l2_lambda", type=float, default=1.0)
     p.add_argument("--w_norm_lambda", type=float, default=0.0)
     p.add_argument("--use_fake_lambda", type=float, default=0.0)
-    p.add_argument("--fake_every", type=int, default=1000)
+    p.add_argument("--fake_every", type=int, default=10,
+                   help="fake-guidance cadence (psp_training_options.py:86)")
     p.add_argument("--val_interval", type=int, default=2500)
     p.add_argument("--save_interval", type=int, default=10_000)
     p.add_argument("--optim_name", type=str, default="ranger")

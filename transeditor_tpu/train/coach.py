@@ -46,7 +46,7 @@ class CoachConfig:
     l2_lambda_crop: float = 0.0
     w_norm_lambda: float = 0.0
     use_fake_lambda: float = 0.0
-    fake_every: int = 1000
+    fake_every: int = 10          # psp_training_options.py:86
     val_interval: int = 2500
     save_interval: int = 10_000
     start_from_latent_avg: bool = True
