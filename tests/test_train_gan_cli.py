@@ -42,3 +42,38 @@ def _wrap_max_steps(train_fn, n):
         kw["max_steps"] = n
         return train_fn(*a, **kw)
     return wrapped
+
+
+@pytest.mark.slow
+def test_train_gan_cli_resume_cycle(tmp_path, capsys):
+    """Crash-recovery story end to end: train 2 steps, relaunch with
+    --resume, and the run continues at the checkpointed step + 1 with
+    the restored state (the reference's --ckpt restart,
+    train_spatial_query.py:475-492)."""
+    from PIL import Image
+    from transeditor_tpu.cli import train_gan
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    rng = np.random.RandomState(1)
+    for i in range(8):
+        Image.fromarray(rng.randint(0, 256, (16, 16, 3),
+                                    dtype=np.uint8)).save(
+            data_dir / f"{i}.png")
+
+    common = [
+        str(data_dir), "--exp_name", "r", "--batch", "4",
+        "--n_sample", "4", "--size", "16", "--num_trans", "1",
+        "--dtype", "float32", "--out_dir", str(tmp_path / "out"),
+    ]
+    train_gan.main(common + ["--iter", "2"])
+    ckpt_dir = tmp_path / "out" / "r" / "checkpoint"
+    steps = sorted(os.listdir(ckpt_dir))
+    assert steps, "first run wrote no checkpoint"
+
+    train_gan.main(common + ["--iter", "4", "--resume", str(ckpt_dir)])
+    out = capsys.readouterr().out
+    assert "resumed from step" in out
+    # the resumed run reaches (and checkpoints) later steps
+    later = sorted(os.listdir(ckpt_dir))
+    assert later[-1] >= steps[-1]
