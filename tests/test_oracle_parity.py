@@ -246,3 +246,33 @@ def test_path_lengths_oracle(ref_gen, ported_gen):
     got = np.asarray(jnp.sqrt(jnp.mean(jnp.sum(grad_j ** 2, axis=2),
                                        axis=1)))
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=2e-3)
+
+
+def test_generator_image_parity_size64(ref_mod):
+    """Same oracle at a SECOND size: the derived constants
+    (token_dim=2*(log2-1), n_latent, channel map) all change between
+    32 and 64, so a formula bug at one size can't hide."""
+    cfg = ModelConfig(size=64, n_trans=1, pixel_norm_axis="feature")
+    assert cfg.token_dim == 10 and cfg.n_latent == 10
+    torch.manual_seed(4)
+    g_ref = ref_mod.Generator(
+        64, cfg.style_dim, cfg.param_dim, cfg.token_dim,
+        channel_multiplier=cfg.channel_multiplier,
+        layer_noise_injection=False, use_spatial_mapping=True,
+        num_region=1, n_trans=cfg.n_trans, pixel_norm_op_dim=1,
+        no_trans=False)
+    g_ref.eval()
+    sd = {k: v.detach().numpy() for k, v in g_ref.state_dict().items()}
+    params = generator_params_from_torch(sd, cfg)
+
+    rng = np.random.RandomState(21)
+    z = rng.randn(2, cfg.style_dim, 16).astype(np.float32)
+    p = rng.randn(2, cfg.param_dim, 16).astype(np.float32)
+    with torch.no_grad():
+        want, _, _ = g_ref(torch.tensor(z), torch.tensor(p))
+    out = Generator(cfg).apply(params,
+                               jnp.asarray(z.transpose(0, 2, 1)),
+                               jnp.asarray(p.transpose(0, 2, 1)))
+    got = np.asarray(out.image).transpose(0, 3, 1, 2)
+    assert got.shape == (2, 3, 64, 64)
+    np.testing.assert_allclose(got, want.numpy(), atol=3e-4, rtol=1e-3)
