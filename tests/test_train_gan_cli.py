@@ -45,13 +45,21 @@ def _wrap_max_steps(train_fn, n):
 
 
 @pytest.mark.slow
-def test_train_gan_cli_resume_cycle(tmp_path, capsys):
+def test_train_gan_cli_resume_cycle(tmp_path, capsys, monkeypatch):
     """Crash-recovery story end to end: train 2 steps, relaunch with
     --resume, and the run continues at the checkpointed step + 1 with
     the restored state (the reference's --ckpt restart,
-    train_spatial_query.py:475-492)."""
+    train_spatial_query.py:475-492).  The 10k checkpoint cadence is
+    shrunk to 2 so the resumed run provably writes a LATER step."""
+    import dataclasses
     from PIL import Image
     from transeditor_tpu.cli import train_gan
+
+    orig_build = train_gan.build_configs
+    monkeypatch.setattr(
+        train_gan, "build_configs",
+        lambda args: (lambda c, t: (c, dataclasses.replace(
+            t, checkpoint_every=2)))(*orig_build(args)))
 
     data_dir = tmp_path / "data"
     data_dir.mkdir()
@@ -74,6 +82,7 @@ def test_train_gan_cli_resume_cycle(tmp_path, capsys):
     train_gan.main(common + ["--iter", "4", "--resume", str(ckpt_dir)])
     out = capsys.readouterr().out
     assert "resumed from step" in out
-    # the resumed run reaches (and checkpoints) later steps
+    # the resumed run reaches (and checkpoints) strictly later steps
     later = sorted(os.listdir(ckpt_dir))
-    assert later[-1] >= steps[-1]
+    assert set(later) - set(steps), (
+        f"resume wrote no new checkpoint: {steps} -> {later}")

@@ -82,7 +82,12 @@ def test_sharded_step_8dev():
 
 def test_donated_step_matches_plain():
     """`donate=True` is a pure buffer-aliasing hint — the donated step
-    must produce bit-identical results to the plain step."""
+    must produce bit-identical results to the plain step.
+
+    NOTE: XLA:CPU ignores donation, so this only pins the API contract;
+    actual HBM aliasing was validated on the real v5e (donated steps
+    ran chained in the train-perf probe with matching losses — README
+    journal, donation A/B)."""
     state_a = init_state(CFG, TCFG, jax.random.PRNGKey(0))
     state_b = init_state(CFG, TCFG, jax.random.PRNGKey(0))
     real = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 3))

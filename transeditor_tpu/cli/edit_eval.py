@@ -76,9 +76,10 @@ def main(argv=None):
     ap.add_argument("--arcface", type=str, default=None)
     ap.add_argument("--id_inception", nargs="?", const="", default=None,
                     help="also report ID drift in InceptionV3 pool3 "
-                         "feature space (the reference's "
-                         "editing_evaluate_id.py protocol); optional "
-                         "value = pt_inception weights path")
+                         "feature space (the feature space of the "
+                         "reference's editing_evaluate_id.py; summary "
+                         "= mean step-vs-center cosine similarity); "
+                         "optional value = pt_inception weights path")
     ap.add_argument("--boundaries", nargs="*", default=None,
                     help="boundary .npy files to cross-compare")
     ap.add_argument("--out", type=str, default=None)
@@ -109,37 +110,47 @@ def main(argv=None):
                         change, trajs[attr][space])
             report["disentanglement"] = dis
 
-    if args.arcface:
-        from transeditor_tpu.io.torch_port import load_torch_checkpoint
-        from transeditor_tpu.io.zoo_port import port_arcface
-        from transeditor_tpu.models.irse import ArcFaceBackbone
-        from transeditor_tpu.train.coach import face_crop, resize_112
-        import jax.numpy as jnp
-        arc = ArcFaceBackbone()
-        arc_vars = port_arcface(load_torch_checkpoint(args.arcface))
-
-        def embed(img):
-            return arc.apply(arc_vars, resize_112(face_crop(
-                jnp.asarray(img))))
-
+    def _id_report(embed):
+        """Per-space mean cosine similarity of each edit step to the
+        strip center; the center embeds ONCE per strip."""
         ids = {}
         for space, samples in strips.items():
             sims = []
             for i, imgs in samples.items():
-                mid = imgs[len(imgs) // 2][None]
-                sims.append(id_preservation(
-                    embed, np.repeat(mid, len(imgs), 0), imgs).mean())
+                feats = np.asarray(embed(imgs))
+                mid = feats[len(imgs) // 2]
+                sims.append(float(np.mean(feats @ mid)))
             ids[space] = float(np.mean(sims))
-        report["id_preservation"] = ids
+        return ids
+
+    if args.arcface:
+        import jax
+        import jax.numpy as jnp
+        from transeditor_tpu.io.torch_port import load_torch_checkpoint
+        from transeditor_tpu.io.zoo_port import port_arcface
+        from transeditor_tpu.models.irse import ArcFaceBackbone
+        from transeditor_tpu.train.coach import face_crop, resize_112
+        arc = ArcFaceBackbone()
+        arc_vars = port_arcface(load_torch_checkpoint(args.arcface))
+
+        # ONE jitted program per strip shape (per-op dispatch on the
+        # axon backend is a ~30ms RPC each)
+        @jax.jit
+        def arc_embed(av, img):
+            return arc.apply(av, resize_112(face_crop(img)))
+
+        report["id_preservation"] = _id_report(
+            lambda img: arc_embed(arc_vars, jnp.asarray(img)))
 
     if args.id_inception is not None:
-        # the reference's ID metric (editing_evaluate_id.py:148-196 +
-        # calculate_score_id.py:66-79): cosine drift of InceptionV3
-        # pool3 features between each edited step and the strip
-        # center.  (The reference feeds the net tensors scaled by 255
-        # on top of [-1,1] normalisation — an apparent bug we don't
-        # reproduce; inputs here are plain [-1,1].)  We report mean
-        # cosine SIMILARITY per space (1 - the reference's distance).
+        # ID drift in the REFERENCE'S feature space
+        # (editing_evaluate_id.py:148-196 uses InceptionV3 pool3, not
+        # ArcFace).  Reported as mean cosine similarity of each step
+        # to the strip center — a summary of the same features; the
+        # reference's calculate_score_id.py additionally splits
+        # center/consecutive drifts by direction and ratios them
+        # against the attribute change.  (Its x255-on-top-of-[-1,1]
+        # input scaling bug is not reproduced; inputs are [-1,1].)
         import jax
         import jax.numpy as jnp
         from transeditor_tpu.metrics.inception import (
@@ -156,22 +167,14 @@ def main(argv=None):
             inc_vars = jax.jit(inc.init)(
                 jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
 
-        def embed_inc(img):
-            # id_preservation expects l2-normalised embeddings
-            f = np.asarray(inc.apply(inc_vars, jnp.asarray(img)))
-            return f / (np.linalg.norm(f, axis=-1, keepdims=True)
-                        + 1e-12)
+        @jax.jit
+        def inc_embed(iv, img):
+            f = inc.apply(iv, img)
+            return f * jax.lax.rsqrt(
+                jnp.sum(f * f, axis=-1, keepdims=True) + 1e-12)
 
-        ids_inc = {}
-        for space, samples in strips.items():
-            sims = []
-            for i, imgs in samples.items():
-                mid = imgs[len(imgs) // 2][None]
-                sims.append(id_preservation(
-                    embed_inc, np.repeat(mid, len(imgs), 0),
-                    imgs).mean())
-            ids_inc[space] = float(np.mean(sims))
-        report["id_preservation_inception"] = ids_inc
+        report["id_preservation_inception"] = _id_report(
+            lambda img: inc_embed(inc_vars, jnp.asarray(img)))
 
     if args.boundaries and len(args.boundaries) >= 2:
         cos = {}

@@ -63,7 +63,13 @@ class CoachState(flax.struct.PyTreeNode):
 
 def face_crop(img):
     """The ArcFace alignment crop (id_loss.py:17-21; NCHW rows 35:223,
-    cols 32:220 -> NHWC)."""
+    cols 32:220 -> NHWC).  Like the reference, it assumes >=224px
+    inputs — fail loudly instead of slicing to an empty map."""
+    if img.shape[1] < 224 or img.shape[2] < 224:
+        raise ValueError(
+            f"ArcFace face_crop needs >=224px images, got "
+            f"{img.shape[1]}x{img.shape[2]} — the ID metric is defined "
+            f"on 256px outputs (reference id_loss.py:17-21)")
     return img[:, 35:223, 32:220, :]
 
 

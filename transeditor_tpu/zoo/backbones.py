@@ -37,13 +37,18 @@ def adaptive_avg_pool_2d(x, out_hw=(7, 7)):
     """torch.nn.AdaptiveAvgPool2d semantics, NHWC, static shapes:
     output cell i averages input rows floor(i*n/out)..ceil((i+1)*n/out)-1.
     Expressed as two small matmuls so XLA maps it onto the MXU."""
+    if x.shape[1] < 1 or x.shape[2] < 1:
+        raise ValueError(
+            f"adaptive_avg_pool_2d got an empty spatial map {x.shape} "
+            f"(input image too small for an upstream crop?)")
+
     def pool_matrix(n_in, n_out):
         m = np.zeros((n_out, n_in), np.float32)
         for i in range(n_out):
             a = (i * n_in) // n_out
             b = -((-(i + 1) * n_in) // n_out)   # ceil
             m[i, a:b] = 1.0 / (b - a)
-        return jnp.asarray(m)
+        return jnp.asarray(m, x.dtype)   # preserve the compute dtype
 
     mh = pool_matrix(x.shape[1], out_hw[0])
     mw = pool_matrix(x.shape[2], out_hw[1])
