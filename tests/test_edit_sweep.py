@@ -56,3 +56,29 @@ def test_full_noinversion_pipeline(gen_params, tmp_path):
     strips = edit_sample(decode, zp, pp, boundaries, 4.0, 4.0, steps=7)
     traj = strips["pz_plus"].scores
     assert traj[-1] != traj[0]
+
+
+def test_sweep_presets_match_reference_tables():
+    """Built-in presets reproduce the reference's config_* JSON files
+    (our_interfaceGAN/config_noinversion/pose.json etc.) including the
+    name-vs-index resolution of edit_all_noinversion_celebahq.py:128-141
+    and the separate seed grid (:232-236)."""
+    from transeditor_tpu.edit.presets import sweep_preset
+
+    assert sweep_preset("pose") == {"style_end_distance": [1],
+                                    "content_end_distance": [17]}
+    assert sweep_preset("pose", inversion=True) == {
+        "style_end_distance": [1], "content_end_distance": [20]}
+    assert sweep_preset("age") == {"style_end_distance": [2.5],
+                                   "content_end_distance": [1]}
+    # CelebA-HQ attributes resolve by index (Male == 0)
+    assert sweep_preset("Male", attribute_index=0) == {
+        "style_end_distance": [5], "content_end_distance": [3]}
+    assert sweep_preset("Wavy_Hair", attribute_index=3,
+                        inversion=True) == {
+        "style_end_distance": [10], "content_end_distance": [15]}
+    # unknown attribute -> None (caller falls back to explicit flags)
+    assert sweep_preset("nonexistent") is None
+    # seed grid merges like the reference's two-file combination
+    c = sweep_preset("gender", with_seeds=True)
+    assert c["seed"] == [0, 100]

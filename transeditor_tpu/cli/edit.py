@@ -73,7 +73,10 @@ def main(argv=None):
     p.add_argument("--config", type=str, default=None,
                    help="JSON sweep config {style_end_distance: [...], "
                         "content_end_distance: [...], seed: [lo, hi]} "
-                        "(the reference's config_noinversion/*.json)")
+                        "(the reference's config_noinversion/*.json), or "
+                        "'preset' / 'preset+seeds' to use the built-in "
+                        "per-attribute table (edit/presets.py; +seeds "
+                        "adds the reference's seed.json 0..99 grid)")
     p.add_argument("--n_edit_samples", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--truncation", type=float, default=1.0)
@@ -124,8 +127,18 @@ def main(argv=None):
     combos = [(args.style_distance, args.content_distance, args.seed)]
     if args.config:
         import json
-        with open(args.config) as f:
-            c = json.load(f)
+        if args.config in ("preset", "preset+seeds"):
+            from transeditor_tpu.edit.presets import sweep_preset
+            c = sweep_preset(args.attribute,
+                             attribute_index=args.attribute_index,
+                             inversion=args.encoded_z is not None,
+                             with_seeds=args.config == "preset+seeds")
+            if c is None:
+                p.error(f"no built-in preset for attribute "
+                        f"{args.attribute!r}; pass a JSON --config")
+        else:
+            with open(args.config) as f:
+                c = json.load(f)
         seeds = range(*c.get("seed", [args.seed, args.seed + 1]))
         combos = [(es, ec, s)
                   for s in seeds
