@@ -80,6 +80,40 @@ def test_sharded_step_8dev():
     assert np.isfinite(float(m["r1"]))
 
 
+def test_fsdp_sharded_step_8dev():
+    """ZeRO/FSDP mode: params + Adam moments sharded over 'data'
+    (reduce-scatter grads, all-gather at use — all GSPMD-inserted).
+    Must produce the same training math as the replicated-params run."""
+    assert len(jax.devices()) == 8
+    mesh = create_mesh(n_data=4, n_model=2)
+    state = init_state(CFG, TCFG, jax.random.PRNGKey(0))
+    real = shard_batch(
+        jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 3)), mesh)
+    step = make_train_step(CFG, TCFG)
+    _, ref_m = step(state, real, jax.random.PRNGKey(2),
+                    do_d_reg=True, do_g_reg=True)
+
+    kw = dict(min_size=32, fsdp=True)
+    fstate = state.replace(
+        params_g=shard_params(state.params_g, mesh, **kw),
+        params_d=shard_params(state.params_d, mesh, **kw),
+        g_ema=shard_params(state.g_ema, mesh, **kw),
+        opt_g=shard_params(state.opt_g, mesh, **kw),
+        opt_d=shard_params(state.opt_d, mesh, **kw))
+    # the big leaves must actually be data-sharded (params AND moments)
+    for tree in (fstate.params_g, fstate.opt_g):
+        assert any(
+            "data" in [ax for ax in leaf.sharding.spec if ax is not None]
+            for leaf in jax.tree.leaves(tree)
+            if hasattr(leaf, "sharding") and leaf.ndim >= 2), tree
+    new_state, m = step(fstate, real, jax.random.PRNGKey(2),
+                        do_d_reg=True, do_g_reg=True)
+    assert int(new_state.step) == 1
+    for k in ref_m:
+        np.testing.assert_allclose(float(m[k]), float(ref_m[k]),
+                                   rtol=5e-3, atol=5e-3, err_msg=k)
+
+
 def test_donated_step_matches_plain():
     """`donate=True` is a pure buffer-aliasing hint — the donated step
     must produce bit-identical results to the plain step.

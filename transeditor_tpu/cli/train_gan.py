@@ -60,6 +60,9 @@ def main(argv=None):
                    help="force the native LMDB loader")
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoint dir to resume from (latest step)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO/FSDP: shard large params + optimizer "
+                        "moments over the data axis (multi-device only)")
     add_model_flags(p)
     args = p.parse_args(argv)
 
@@ -109,7 +112,7 @@ def main(argv=None):
               f"{start_step}")
 
     train(cfg, tcfg, data, out_dir=args.out_dir, exp_name=args.exp_name,
-          state=state, start_step=start_step)
+          state=state, start_step=start_step, fsdp=args.fsdp)
 
 
 if __name__ == "__main__":

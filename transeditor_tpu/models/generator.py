@@ -212,8 +212,6 @@ class Generator(nn.Module):
         if cfg.no_trans:
             trans_interact = False
 
-        z_in = z if not input_is_latent else None
-
         if input_is_latent:
             # P is still mapped in this mode (reference :618-619).
             p_plus = self.map_p(p) if map_p else p

@@ -17,6 +17,13 @@ Axes:
 The rules are honest about this model's scaling regime (SURVEY.md §2.9:
 the scaling dimension is batch): ``data`` carries the parallel work,
 ``model`` shards optimizer/parameter state and the widest matmuls.
+
+``fsdp=True`` additionally shards each large parameter (and, applied to
+the optimizer-state tree, its Adam moments) over ``data`` — the
+ZeRO/FSDP analogue.  No wrapper machinery is needed: under ``jit``,
+GSPMD all-gathers a data-sharded weight at its use site and turns the
+gradient ``psum`` into a reduce-scatter, so per-chip parameter +
+optimizer memory drops by ~n_data while the step function is unchanged.
 """
 
 from __future__ import annotations
@@ -42,37 +49,51 @@ def create_mesh(n_data: Optional[int] = None, n_model: int = 1,
 
 
 def param_partition_spec(path: tuple, leaf, mesh: Mesh,
-                         min_size: int = 256) -> P:
+                         min_size: int = 256, fsdp: bool = False) -> P:
     """Tensor-parallel rule: shard the output-channel (last) axis of
     large kernels over 'model'; replicate everything else.
 
     Keeps biases / small tensors / modulation layers replicated so the
     per-sample style path stays local; the wide conv / linear weights
     (the memory and FLOP bulk) split across the model axis.
+
+    With ``fsdp=True`` the largest remaining eligible axis of a large
+    tensor is additionally sharded over 'data' (ZeRO/FSDP-style fully
+    sharded parameter + optimizer state; the rule depends only on the
+    leaf's shape, so it applies unchanged to Adam moment trees).
     """
     n_model = mesh.shape["model"]
-    if n_model == 1:
-        return P()
-    shape = getattr(leaf, "shape", ())
-    if len(shape) >= 2 and shape[-1] >= min_size and shape[-1] % n_model == 0:
-        return P(*([None] * (len(shape) - 1) + ["model"]))
-    return P()
+    shape = tuple(getattr(leaf, "shape", ()))
+    spec = [None] * len(shape)
+    if (n_model > 1 and len(shape) >= 2 and shape[-1] >= min_size
+            and shape[-1] % n_model == 0):
+        spec[-1] = "model"
+    n_data = mesh.shape["data"]
+    if fsdp and n_data > 1 and len(shape) >= 2:
+        for ax in sorted(range(len(shape)), key=lambda a: -shape[a]):
+            if (spec[ax] is None and shape[ax] >= min_size
+                    and shape[ax] % n_data == 0):
+                spec[ax] = "data"
+                break
+    return P(*spec)
 
 
-def shard_params(params, mesh: Mesh, min_size: int = 256):
+def shard_params(params, mesh: Mesh, min_size: int = 256,
+                 fsdp: bool = False):
     """Place a param tree on the mesh per ``param_partition_spec``."""
     def place(path, leaf):
-        spec = param_partition_spec(path, leaf, mesh, min_size)
+        spec = param_partition_spec(path, leaf, mesh, min_size, fsdp)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
     return jax.tree_util.tree_map_with_path(place, params)
 
 
-def param_shardings(params, mesh: Mesh, min_size: int = 256):
+def param_shardings(params, mesh: Mesh, min_size: int = 256,
+                    fsdp: bool = False):
     """The NamedSharding tree matching ``shard_params`` (for jit
     in_shardings/out_shardings)."""
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: NamedSharding(
-            mesh, param_partition_spec(path, leaf, mesh, min_size)),
+            mesh, param_partition_spec(path, leaf, mesh, min_size, fsdp)),
         params)
 
 

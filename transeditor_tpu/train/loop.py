@@ -67,6 +67,7 @@ def train(
     state: Optional[GANTrainState] = None,
     start_step: int = 0,
     max_steps: Optional[int] = None,
+    fsdp: bool = False,
 ) -> GANTrainState:
     gen = Generator(cfg)
     rng = jax.random.PRNGKey(tcfg.seed)
@@ -78,10 +79,16 @@ def train(
     if mesh is None and n_dev > 1 and tcfg.batch_size % n_dev == 0:
         mesh = create_mesh()
     if mesh is not None:
+        # fsdp=True additionally shards large params + Adam moments over
+        # 'data' (ZeRO-style; see parallel/mesh.py)
         state = state.replace(
-            params_g=shard_params(state.params_g, mesh),
-            params_d=shard_params(state.params_d, mesh),
-            g_ema=shard_params(state.g_ema, mesh))
+            params_g=shard_params(state.params_g, mesh, fsdp=fsdp),
+            params_d=shard_params(state.params_d, mesh, fsdp=fsdp),
+            g_ema=shard_params(state.g_ema, mesh, fsdp=fsdp),
+            opt_g=(shard_params(state.opt_g, mesh, fsdp=True)
+                   if fsdp else state.opt_g),
+            opt_d=(shard_params(state.opt_d, mesh, fsdp=True)
+                   if fsdp else state.opt_d))
 
     step_fn = make_train_step(cfg, tcfg)
 
