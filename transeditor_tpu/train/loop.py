@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import functools
 import os
+import signal
 import time
 from typing import Iterator, Optional
 
@@ -28,6 +29,48 @@ from transeditor_tpu.train.gan import (GANTrainState, init_state,
                                        make_train_step)
 from transeditor_tpu.utils.image import make_grid, save_png
 from transeditor_tpu.utils.sampling import sample_zp
+
+
+class GracefulShutdown:
+    """Preemption-safe shutdown: SIGTERM/SIGINT set a flag the train
+    loop polls, so it finishes the in-flight step, writes a synchronous
+    checkpoint, and returns cleanly.
+
+    TPU pods are evicted with SIGTERM; the reference's only recovery is
+    a manual restart from the last 10k-iteration checkpoint
+    (train_spatial_query.py:361-371,475-492), losing up to
+    ``checkpoint_every`` steps.  This bounds the loss to one step.  A
+    second signal restores the previous handlers, so repeated Ctrl-C
+    still kills a wedged process.
+    """
+
+    def __init__(self, signals=(signal.SIGTERM, signal.SIGINT)):
+        self.requested = False
+        self._signals = signals
+        self._prev = {}
+
+    def __enter__(self):
+        for s in self._signals:
+            try:
+                self._prev[s] = signal.signal(s, self._handler)
+            except ValueError:
+                # not the main thread (e.g. a test harness worker):
+                # polling still works, we just can't install handlers
+                break
+        return self
+
+    def _handler(self, signum, frame):
+        self.requested = True
+        self._restore()  # next signal falls through to the default
+
+    def _restore(self):
+        for s, h in self._prev.items():
+            signal.signal(s, h)
+        self._prev = {}
+
+    def __exit__(self, *exc):
+        self._restore()
+        return False
 
 
 class MetricLogger:
@@ -124,42 +167,54 @@ def train(
               start_step + max_steps if max_steps else tcfg.total_steps)
     t0 = time.perf_counter()
     imgs_seen = 0
-    for i in range(start_step, end):
-        real = next(data_iter)
-        if mesh is not None:
-            # multi-host: `real` is this host's local shard and the
-            # result is the data-sharded global batch; single-host:
-            # plain device_put with the 'data' sharding
-            real = global_batch(mesh, real)
-        else:
-            real = jnp.asarray(real)
-        rng, step_key = jax.random.split(rng)
-        state, metrics = step_fn(
-            state, real, step_key,
-            do_d_reg=(i % tcfg.d_reg_every == 0),
-            do_g_reg=(i % tcfg.g_reg_every == 0),
-            do_spatial_reg=(tcfg.spatial_regu
-                            and i % tcfg.g_reg_every == 0))
-        imgs_seen += real.shape[0]
+    with GracefulShutdown() as stop:
+        for i in range(start_step, end):
+            real = next(data_iter)
+            if mesh is not None:
+                # multi-host: `real` is this host's local shard and the
+                # result is the data-sharded global batch; single-host:
+                # plain device_put with the 'data' sharding
+                real = global_batch(mesh, real)
+            else:
+                real = jnp.asarray(real)
+            rng, step_key = jax.random.split(rng)
+            state, metrics = step_fn(
+                state, real, step_key,
+                do_d_reg=(i % tcfg.d_reg_every == 0),
+                do_g_reg=(i % tcfg.g_reg_every == 0),
+                do_spatial_reg=(tcfg.spatial_regu
+                                and i % tcfg.g_reg_every == 0))
+            imgs_seen += real.shape[0]
 
-        # materialising metrics forces a device sync; only do it on the
-        # logging cadence so steps pipeline back-to-back in between
-        if rank0 and i % logger.log_every == 0:
-            dt = time.perf_counter() - t0
-            metrics = dict(metrics)
-            metrics["imgs_per_sec"] = imgs_seen / max(dt, 1e-9)
-            t0, imgs_seen = time.perf_counter(), 0
-            logger.log(i, {k: float(v) for k, v in metrics.items()})
+            # materialising metrics forces a device sync; only do it on
+            # the logging cadence so steps pipeline back-to-back in
+            # between
+            if rank0 and i % logger.log_every == 0:
+                dt = time.perf_counter() - t0
+                metrics = dict(metrics)
+                metrics["imgs_per_sec"] = imgs_seen / max(dt, 1e-9)
+                t0, imgs_seen = time.perf_counter(), 0
+                logger.log(i, {k: float(v) for k, v in metrics.items()})
 
-        if rank0 and i % tcfg.sample_every == 0:
-            grid = make_grid(np.asarray(ema_sample(state.g_ema),
-                                        np.float32),
-                             nrow=int(tcfg.n_sample ** 0.5))
-            save_png(os.path.join(sample_dir, f"{i:06d}.png"), grid)
+            if rank0 and i % tcfg.sample_every == 0:
+                grid = make_grid(np.asarray(ema_sample(state.g_ema),
+                                            np.float32),
+                                 nrow=int(tcfg.n_sample ** 0.5))
+                save_png(os.path.join(sample_dir, f"{i:06d}.png"), grid)
 
-        if i % tcfg.checkpoint_every == 0:
-            # background serialisation: the loop keeps stepping
-            save_train_state(ckpt_dir, i, state, async_save=True)
+            if i % tcfg.checkpoint_every == 0:
+                # background serialisation: the loop keeps stepping
+                save_train_state(ckpt_dir, i, state, async_save=True)
+
+            if stop.requested:
+                # preemption: persist the state AFTER this step so a
+                # restart resumes at i+1 with at most one step lost
+                wait_for_saves()
+                save_train_state(ckpt_dir, i + 1, state, async_save=False)
+                if rank0:
+                    print(f"[{i}] shutdown signal: checkpointed step "
+                          f"{i + 1}, exiting", flush=True)
+                break
 
     wait_for_saves()
     logger.close()
