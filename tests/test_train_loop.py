@@ -27,11 +27,65 @@ def test_train_loop_smoke(tmp_path):
     assert os.path.exists(tmp_path / "t" / "sample" / "000002.png")
     ckpts = os.listdir(tmp_path / "t" / "checkpoint")
     assert "000000" in ckpts and "000002" in ckpts
+    # machine-readable scalar stream (one JSON object per logged step)
+    import json
+    with open(tmp_path / "t" / "tb" / "metrics.jsonl") as f:
+        rows = [json.loads(line) for line in f]
+    assert rows and rows[0]["step"] == 0 and "d" in rows[0]
+
+
+def test_metric_logger_wandb_sink(tmp_path, monkeypatch):
+    """MetricLogger drives wandb when installed + requested, and
+    degrades silently when the package is absent (the reference's gated
+    ``if wandb and args.wandb`` pattern, train_spatial_query.py:16-20,
+    324-339)."""
+    import sys
+    import types
+
+    from transeditor_tpu.train.loop import MetricLogger
+
+    calls = {"init": [], "log": [], "finish": 0}
+    fake = types.ModuleType("wandb")
+    fake.init = lambda **kw: calls["init"].append(kw)
+    fake.log = lambda metrics, step=None: calls["log"].append(
+        (step, metrics))
+    fake.finish = lambda: calls.__setitem__("finish", calls["finish"] + 1)
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    logger = MetricLogger(None, use_wandb=True, wandb_project="proj")
+    logger.log(0, {"d": 1.0, "g": 2.0})
+    logger.log(7, {"d": 0.5})
+    logger.close()
+    assert calls["init"] == [{"project": "proj"}]
+    assert calls["log"] == [(0, {"d": 1.0, "g": 2.0}), (7, {"d": 0.5})]
+    assert calls["finish"] == 1
+
+    # absent package: requested wandb degrades to the other sinks
+    monkeypatch.delitem(sys.modules, "wandb")
+    monkeypatch.setattr("builtins.__import__", _blocking_import("wandb"))
+    logger = MetricLogger(None, use_wandb=True)
+    assert logger.wandb is None
+    logger.log(0, {"d": 1.0})
+    logger.close()
+
+
+def _blocking_import(blocked):
+    real_import = __import__
+
+    def imp(name, *a, **kw):
+        if name == blocked:
+            raise ImportError(name)
+        return real_import(name, *a, **kw)
+
+    return imp
 
 
 def test_train_loop_preemption_checkpoint(tmp_path):
     """SIGTERM mid-run: the loop finishes the in-flight step, writes a
-    resumable checkpoint one past it, and returns early."""
+    checkpoint named like the cadence saves (name i == state after step
+    i), and a real resume (start_step = ckpt_step + 1, the
+    cli/train_gan convention) executes step i+1 next — no step skipped,
+    at most one lost."""
     cfg = ModelConfig(size=16, style_dim=32, param_dim=32, max_channels=32,
                       n_trans=1)
     # cadence intervals far beyond the interrupt point: any checkpoint
@@ -56,8 +110,29 @@ def test_train_loop_preemption_checkpoint(tmp_path):
     assert int(state.step) == 3  # steps 0..2 ran, 3..49 preempted away
     restored, step = restore_train_state(
         str(tmp_path / "p" / "checkpoint"), state)
-    assert step == 3
+    # the shutdown checkpoint uses the cadence naming: name 2 holds the
+    # state after step 2 (state.step counter == 3)
+    assert step == 2
     np.testing.assert_array_equal(
         np.asarray(restored.step), np.asarray(state.step))
     # the handler uninstalled itself after the first signal
     assert signal.getsignal(signal.SIGTERM) is prev_handler
+
+    # real resume: continue exactly as cli/train_gan.py does
+    # (start_step = ckpt_step + 1) and track which step indices run —
+    # the next executed step must be 3 (i+1), not 4
+    executed = []
+
+    def tracking_iter():
+        n = 0
+        for batch in base:
+            executed.append(None)
+            yield batch
+
+    start_step = step + 1
+    assert start_step == int(restored.step)
+    resumed = train(cfg, tcfg, tracking_iter(), out_dir=str(tmp_path),
+                    exp_name="p", mesh=None, state=restored,
+                    start_step=start_step, max_steps=1)
+    assert len(executed) == 1  # exactly one step (index 3) executed
+    assert int(resumed.step) == 4  # steps 0..3 have now run, none skipped

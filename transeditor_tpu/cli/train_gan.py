@@ -63,6 +63,10 @@ def main(argv=None):
     p.add_argument("--fsdp", action="store_true",
                    help="ZeRO/FSDP: shard large params + optimizer "
                         "moments over the data axis (multi-device only)")
+    p.add_argument("--wandb", action="store_true",
+                   help="log scalars to wandb if installed (gated soft "
+                        "dependency, reference train_spatial_query.py:"
+                        "16-20,396)")
     add_model_flags(p)
     args = p.parse_args(argv)
 
@@ -112,7 +116,8 @@ def main(argv=None):
               f"{start_step}")
 
     train(cfg, tcfg, data, out_dir=args.out_dir, exp_name=args.exp_name,
-          state=state, start_step=start_step, fsdp=args.fsdp)
+          state=state, start_step=start_step, fsdp=args.fsdp,
+          use_wandb=args.wandb)
 
 
 if __name__ == "__main__":

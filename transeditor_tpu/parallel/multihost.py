@@ -128,6 +128,23 @@ def reduce_loss_dict(metrics: dict) -> dict:
     return {k: float(np.mean(v)) for k, v in gathered.items()}
 
 
+def any_flag(flag: bool, name: str = "stop") -> bool:
+    """Cross-host OR of a local boolean.
+
+    Preemption agreement: SIGTERM delivery is per-process and
+    unsynchronized, so a train loop must never act on a local flag
+    alone — one host breaking out while its peers are already inside
+    the next step's collectives deadlocks both the step and the
+    coordinated checkpoint save.  Every host calls this at the same
+    point each iteration; all of them observe True at the same step.
+    Single-process: free (no collective)."""
+    if jax.process_count() == 1:
+        return bool(flag)
+    from jax.experimental import multihost_utils
+    return bool(np.max(multihost_utils.process_allgather(
+        np.asarray(bool(flag), np.int32))))
+
+
 def broadcast_from_main(data):
     """Host-0's value everywhere (used for shared seeds / sampled
     boundaries; the ``dist.broadcast`` analogue)."""

@@ -24,7 +24,8 @@ from transeditor_tpu.config import ModelConfig, TrainConfig
 from transeditor_tpu.io.checkpoint import save_train_state, wait_for_saves
 from transeditor_tpu.models import Generator
 from transeditor_tpu.parallel import create_mesh, shard_params
-from transeditor_tpu.parallel.multihost import global_batch, is_main
+from transeditor_tpu.parallel.multihost import (any_flag, global_batch,
+                                                is_main)
 from transeditor_tpu.train.gan import (GANTrainState, init_state,
                                        make_train_step)
 from transeditor_tpu.utils.image import make_grid, save_png
@@ -42,6 +43,11 @@ class GracefulShutdown:
     ``checkpoint_every`` steps.  This bounds the loss to one step.  A
     second signal restores the previous handlers, so repeated Ctrl-C
     still kills a wedged process.
+
+    On multi-host pods the loop never acts on this flag directly: it
+    runs it through ``parallel.multihost.any_flag`` each iteration so
+    all processes agree on the break step (see that helper's docstring
+    for the deadlock this prevents).
     """
 
     def __init__(self, signals=(signal.SIGTERM, signal.SIGINT)):
@@ -74,15 +80,35 @@ class GracefulShutdown:
 
 
 class MetricLogger:
-    """Scalar logging: tensorboardX if available, always stdout."""
+    """Scalar logging: tensorboardX if available, always stdout, plus an
+    optional wandb sink behind ``use_wandb`` with the reference's gated
+    import (train_spatial_query.py:16-20,324-339,527-528: wandb is a
+    soft dependency — absent package + requested flag degrades to the
+    other sinks, exactly like the reference's ``if wandb and
+    args.wandb`` guard).  When ``logdir`` is set, every ``log`` call
+    also appends one JSON line to ``<logdir>/metrics.jsonl`` — a
+    machine-readable stream the reference lacked."""
 
-    def __init__(self, logdir: Optional[str], log_every: int = 50):
+    def __init__(self, logdir: Optional[str], log_every: int = 50,
+                 use_wandb: bool = False,
+                 wandb_project: str = "transeditor_tpu"):
         self.writer = None
         self.log_every = log_every
+        self.wandb = None
+        self.jsonl = None
         if logdir:
             try:
                 from tensorboardX import SummaryWriter
                 self.writer = SummaryWriter(logdir)
+            except ImportError:
+                pass
+            os.makedirs(logdir, exist_ok=True)
+            self.jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a")
+        if use_wandb:
+            try:
+                import wandb
+                wandb.init(project=wandb_project)
+                self.wandb = wandb
             except ImportError:
                 pass
 
@@ -90,6 +116,15 @@ class MetricLogger:
         if self.writer is not None:
             for k, v in metrics.items():
                 self.writer.add_scalar(k, float(v), step)
+        if self.wandb is not None:
+            self.wandb.log({k: float(v) for k, v in metrics.items()},
+                           step=step)
+        if self.jsonl is not None:
+            import json
+            self.jsonl.write(json.dumps(
+                {"step": step,
+                 **{k: float(v) for k, v in metrics.items()}}) + "\n")
+            self.jsonl.flush()
         if step % self.log_every == 0:
             msg = "; ".join(f"{k}: {float(v):.4f}" for k, v in
                             sorted(metrics.items()))
@@ -98,6 +133,10 @@ class MetricLogger:
     def close(self):
         if self.writer is not None:
             self.writer.close()
+        if self.wandb is not None:
+            self.wandb.finish()
+        if self.jsonl is not None:
+            self.jsonl.close()
 
 
 def train(
@@ -111,6 +150,7 @@ def train(
     start_step: int = 0,
     max_steps: Optional[int] = None,
     fsdp: bool = False,
+    use_wandb: bool = False,
 ) -> GANTrainState:
     gen = Generator(cfg)
     rng = jax.random.PRNGKey(tcfg.seed)
@@ -144,7 +184,8 @@ def train(
     # (orbax coordinates multi-host saves itself)
     rank0 = is_main()
     logger = MetricLogger(os.path.join(out_dir, exp_name, "tb")
-                          if rank0 else None)
+                          if rank0 else None,
+                          use_wandb=use_wandb and rank0)
 
     # fixed visualization latents (reference :162-163)
     sample_key = jax.random.PRNGKey(tcfg.seed + 1)
@@ -206,14 +247,22 @@ def train(
                 # background serialisation: the loop keeps stepping
                 save_train_state(ckpt_dir, i, state, async_save=True)
 
-            if stop.requested:
-                # preemption: persist the state AFTER this step so a
-                # restart resumes at i+1 with at most one step lost
+            # SIGTERM delivery is per-process: agree on the flag across
+            # hosts so every process breaks at the SAME step (else one
+            # host enters the coordinated save while the rest are in
+            # step i+1's collectives and both deadlock).  Free on a
+            # single host.
+            if any_flag(stop.requested):
+                # preemption: persist the state AFTER this step under
+                # the cadence naming convention (checkpoint `i` ==
+                # state after step i), so the resume path's
+                # start_step = ckpt_step + 1 continues at i+1 with at
+                # most one step lost
                 wait_for_saves()
-                save_train_state(ckpt_dir, i + 1, state, async_save=False)
+                save_train_state(ckpt_dir, i, state, async_save=False)
                 if rank0:
-                    print(f"[{i}] shutdown signal: checkpointed step "
-                          f"{i + 1}, exiting", flush=True)
+                    print(f"[{i}] shutdown signal: checkpointed state "
+                          f"after step {i}, exiting", flush=True)
                 break
 
     wait_for_saves()
