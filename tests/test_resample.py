@@ -148,3 +148,25 @@ def test_separable_second_order_grad():
     x = jnp.ones((1, 4, 4, 1)) * 0.5
     g2 = jax.grad(lambda x: jnp.sum(jax.grad(f)(x) ** 2))(x)
     assert np.isfinite(np.asarray(g2)).all()
+
+
+@pytest.mark.parametrize("impl", ["matmul", "2pass", "shiftadd", "none"])
+def test_blur_impl_variants_match_conv(impl):
+    """Every `set_blur_impl` lowering must equal the default conv blur
+    ('none' is the ablation identity — shape contract only).  These are
+    the perf-probe alternates (README journal / docs/perf)."""
+    from transeditor_tpu.ops import resample as R
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 12, 12, 8).astype(np.float32))
+    for pad, gain in [((2, 1), 2), ((1, 1), 1)]:
+        want = R.blur(x, (1, 3, 3, 1), pad=pad, upsample_factor=gain)
+        R.set_blur_impl(impl)
+        try:
+            got = R.blur(x, (1, 3, 3, 1), pad=pad, upsample_factor=gain)
+        finally:
+            R.set_blur_impl("conv")
+        assert got.shape == want.shape
+        if impl != "none":
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-5, atol=1e-5)

@@ -221,11 +221,55 @@ def upfirdn2d_2pass(x, taps, up=1, down=1, pad=(0, 0)):
     return _depthwise_1d_pass(y, taps, 2, up, down, pad)
 
 
+def _band_matrix(taps: Sequence[float], in_len: int, out_len: int,
+                 pad0: int) -> np.ndarray:
+    """[out_len, in_len] banded matrix of a 1-D 'valid' true convolution
+    over a zero-padded axis, with the zeros folded into clipped columns
+    (no explicit pad pass): out[h] = sum_t flip(taps)[t] * x[h + t - pad0]."""
+    flip = np.asarray(taps, np.float64)[::-1]
+    band = np.zeros((out_len, in_len), np.float32)
+    for h in range(out_len):
+        for t, v in enumerate(flip):
+            j = h + t - pad0
+            if 0 <= j < in_len:
+                band[h, j] = v
+    return band
+
+
+def upfirdn2d_matmul(x, taps, pad=(0, 0)):
+    """Separable FIR blur (up=down=1) as two banded MXU matmuls.
+
+    Same math as the separable forms; trades 4+4 VPU MACs/element for
+    two skinny [H_out, H] x [H, ...] contractions that ride the MXU.
+    Measured on v5e (see README perf journal): the two HBM roundtrips
+    make it memory-floor-bound above the single-pass depthwise conv, so
+    this is a closed (measured) candidate, not the default.
+    """
+    _, h, w, _ = x.shape
+    k = len(taps)
+    ho = h + pad[0] + pad[1] - k + 1
+    wo = w + pad[0] + pad[1] - k + 1
+    bh = jnp.asarray(_band_matrix(taps, h, ho, pad[0]), x.dtype)
+    bw = jnp.asarray(_band_matrix(taps, w, wo, pad[0]), x.dtype)
+    y = jnp.einsum("Hh,bhwc->bHwc", bh, x)
+    return jnp.einsum("Ww,bhwc->bhWc", bw, y)
+
+
 # Hot-path note (measured on v5e, same-process A/B at batch 256):
 #   depthwise-conv blur: 1515 img/s | separable shift-adds: 1189 img/s
 #   | no blur (ceiling): 1906 img/s
 # so the conv lowering wins on TPU and is the default here; the
 # separable path remains available by passing 1-D taps to upfirdn2d.
+# `set_blur_impl` swaps the lowering process-wide for A/B probes.
+
+_BLUR_IMPL = "conv"  # conv | 2pass | matmul | shiftadd | none
+
+
+def set_blur_impl(name: str) -> None:
+    """Select the blur lowering for `blur()` (perf probes; default conv)."""
+    global _BLUR_IMPL
+    assert name in ("conv", "2pass", "matmul", "shiftadd", "none"), name
+    _BLUR_IMPL = name
 
 
 def upsample_2d(x, kernel_1d=(1, 3, 3, 1), factor: int = 2):
@@ -244,6 +288,20 @@ def downsample_2d(x, kernel_1d=(1, 3, 3, 1), factor: int = 2):
 
 def blur(x, kernel_1d=(1, 3, 3, 1), pad=(0, 0), upsample_factor: int = 1):
     """Plain FIR blur with explicit pad (model_spatial_query.py:137-153)."""
+    if _BLUR_IMPL != "conv":
+        if _BLUR_IMPL == "none":    # ablation ceiling: identity-crop
+            kernel = make_resample_kernel(kernel_1d)
+            ho = x.shape[1] + pad[0] + pad[1] - kernel.shape[0] + 1
+            return x[:, :ho, :ho, :] if ho <= x.shape[1] else jnp.pad(
+                x, ((0, 0), (0, ho - x.shape[1]), (0, ho - x.shape[2]),
+                    (0, 0)))
+        taps = _taps_1d(kernel_1d, float(upsample_factor))
+        if _BLUR_IMPL == "matmul":
+            return upfirdn2d_matmul(x, taps, pad=pad)
+        if _BLUR_IMPL == "2pass":
+            return upfirdn2d_2pass(x, taps, pad=pad)
+        if _BLUR_IMPL == "shiftadd":
+            return _upfirdn2d_separable(x, taps, 1, 1, pad)
     kernel = make_resample_kernel(kernel_1d)
     if upsample_factor > 1:
         kernel = kernel * (upsample_factor ** 2)
