@@ -51,31 +51,23 @@ def slerp(a, b, t, axis=1):
     return normalize(a * jnp.cos(p) + c * jnp.sin(p))
 
 
-def make_ppl_batch_fn(cfg: ModelConfig, gen_params, lpips_params,
-                      space: str = "all", eval_plus: bool = True,
-                      crop: bool = False, eps: float = 1e-4,
-                      batch: int = 64, use_slerp: bool = False,
-                      sampling: str = "end"):
+def make_ppl_distance_fn(cfg: ModelConfig, space: str = "all",
+                         eval_plus: bool = True, crop: bool = False,
+                         eps: float = 1e-4, use_slerp: bool = False):
+    """Pure distance assembly: (gen_params, lpips_params, z, p, t) ->
+    [B] path-length distances for 2B pre-sampled latent endpoints in
+    our [2B, T, D] layout.  This is the deterministic core of the
+    reference protocol (evaluate_query.py:172-242) — endpoint pairing
+    ``x[::2], x[1::2]``, lerp/slerp at (t, t+eps), interleaved restack,
+    mapping bypass under eval_plus, center crop, >256px bilinear
+    downscale, LPIPS / eps² — exposed separately so the torch-CPU
+    oracle can pin it on identical inputs."""
     gen = Generator(cfg)
     lpips = LPIPS(net="vgg")
-    # weight trees ride through jit as ARGUMENTS, not closure constants
-    gen_params = jax.tree.map(jnp.asarray, gen_params)
-    lpips_params = jax.tree.map(jnp.asarray, lpips_params)
 
-    @jax.jit
-    def ppl_batch(gp, lpp, key: jax.Array) -> jax.Array:
-        kz, kp, kt = jax.random.split(key, 3)
-        z = sample_tokens(kz, batch * 2, cfg.n_tokens, cfg.style_dim,
-                          same=(space == "p"))
-        p = sample_tokens(kp, batch * 2, cfg.n_tokens, cfg.param_dim,
-                          same=(space == "z"))
+    def distances(gp, lpp, z, p, t) -> jax.Array:
         if eval_plus:
             z, p = gen.apply(gp, z, p, method="map_codes")
-
-        # end-sampling (t=0) by default; 'full' draws t~U[0,1)
-        # (evaluate_query.py:167-171)
-        t = (jax.random.uniform(kt, ()) if sampling == "full"
-             else jnp.zeros(()))
 
         def interp_pairs(x):
             a, b = x[0::2], x[1::2]
@@ -105,6 +97,42 @@ def make_ppl_batch_fn(cfg: ModelConfig, gen_params, lpips_params,
         d = lpips.apply(lpp, img[0::2], img[1::2])
         return d / (eps * eps)
 
+    return distances
+
+
+def percentile_filter_mean(distances: np.ndarray) -> float:
+    """[1st, 99th]-percentile filtered mean (evaluate_query.py:244-249,
+    with numpy's 'lower'/'higher' interpolation modes)."""
+    lo = np.percentile(distances, 1, method="lower")
+    hi = np.percentile(distances, 99, method="higher")
+    kept = distances[(distances >= lo) & (distances <= hi)]
+    return float(kept.mean())
+
+
+def make_ppl_batch_fn(cfg: ModelConfig, gen_params, lpips_params,
+                      space: str = "all", eval_plus: bool = True,
+                      crop: bool = False, eps: float = 1e-4,
+                      batch: int = 64, use_slerp: bool = False,
+                      sampling: str = "end"):
+    distances = make_ppl_distance_fn(cfg, space, eval_plus, crop,
+                                     eps=eps, use_slerp=use_slerp)
+    # weight trees ride through jit as ARGUMENTS, not closure constants
+    gen_params = jax.tree.map(jnp.asarray, gen_params)
+    lpips_params = jax.tree.map(jnp.asarray, lpips_params)
+
+    @jax.jit
+    def ppl_batch(gp, lpp, key: jax.Array) -> jax.Array:
+        kz, kp, kt = jax.random.split(key, 3)
+        z = sample_tokens(kz, batch * 2, cfg.n_tokens, cfg.style_dim,
+                          same=(space == "p"))
+        p = sample_tokens(kp, batch * 2, cfg.n_tokens, cfg.param_dim,
+                          same=(space == "z"))
+        # end-sampling (t=0) by default; 'full' draws t~U[0,1)
+        # (evaluate_query.py:167-171)
+        t = (jax.random.uniform(kt, ()) if sampling == "full"
+             else jnp.zeros(()))
+        return distances(gp, lpp, z, p, t)
+
     return lambda key: ppl_batch(gen_params, lpips_params, key)
 
 
@@ -128,8 +156,4 @@ def compute_ppl(cfg: ModelConfig, gen_params, lpips_params,
         if progress:
             progress(done)
     distances = np.concatenate(dists)[:n_samples]
-
-    lo = np.percentile(distances, 1, method="lower")
-    hi = np.percentile(distances, 99, method="higher")
-    kept = distances[(distances >= lo) & (distances <= hi)]
-    return float(kept.mean())
+    return percentile_filter_mean(distances)
