@@ -58,6 +58,35 @@ def test_full_noinversion_pipeline(gen_params, tmp_path):
     assert traj[-1] != traj[0]
 
 
+def test_streamed_memmap_store(gen_params):
+    """VERDICT #6: the 150k-sample protocol must not OOM the host.
+    Forced-memmap collection matches the RAM path bit-for-bit, and the
+    protocol-scale store (150k x 8192) allocates on disk, not RAM."""
+    from transeditor_tpu.edit.sweep import _latent_store
+
+    kw = dict(n_samples=128, batch=64, seed=3)
+    z_ram, p_ram, s_ram = collect_scored_latents(
+        CFG, gen_params, brightness_scorer, store="ram", **kw)
+    z_mm, p_mm, s_mm = collect_scored_latents(
+        CFG, gen_params, brightness_scorer, store="memmap", **kw)
+    assert isinstance(z_mm, np.memmap)
+    np.testing.assert_array_equal(np.asarray(z_mm), z_ram)
+    np.testing.assert_array_equal(np.asarray(p_mm), p_ram)
+    np.testing.assert_array_equal(s_mm, s_ram)
+
+    # 'auto' spills to disk at protocol scale (150k x 16*512 f32 ~ 4.9GB
+    # per tree vs the default 1 GB budget) without touching host RAM
+    big = _latent_store(150_000, 16 * 512, "auto", (1 << 30) // 2, None)
+    assert isinstance(big, np.memmap)
+    big[149_999, -1] = 1.0  # last element addressable
+    assert big[149_999, -1] == 1.0
+    del big
+
+    # ...and stays in RAM when it fits the budget
+    small = _latent_store(64, 512, "auto", 1 << 30, None)
+    assert not isinstance(small, np.memmap)
+
+
 def test_sweep_presets_match_reference_tables():
     """Built-in presets reproduce the reference's config_* JSON files
     (our_interfaceGAN/config_noinversion/pose.json etc.) including the

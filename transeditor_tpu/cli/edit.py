@@ -82,6 +82,13 @@ def main(argv=None):
     p.add_argument("--truncation", type=float, default=1.0)
     p.add_argument("--out_dir", type=str, default="./edits")
     p.add_argument("--retrain_boundary", action="store_true")
+    p.add_argument("--latent_store", choices=("auto", "ram", "memmap"),
+                   default="auto",
+                   help="where the scored-latent accumulator lives; "
+                        "'auto' spills to a tempfile memmap once the "
+                        "two trees exceed --latent_mem_budget_gb (the "
+                        "150k-sample protocol needs ~10 GB)")
+    p.add_argument("--latent_mem_budget_gb", type=float, default=1.0)
     p.add_argument("--encoded_z", type=str, default=None,
                    help="encoder-inverted z+ npy (inversion variant)")
     p.add_argument("--encoded_p", type=str, default=None)
@@ -114,6 +121,8 @@ def main(argv=None):
         z_flat, p_flat, scores = collect_scored_latents(
             cfg, gen_params, scorer, n_samples=args.num_sample,
             batch=args.batch, truncation=args.truncation, seed=args.seed,
+            store=args.latent_store,
+            mem_budget_bytes=int(args.latent_mem_budget_gb * (1 << 30)),
             progress=lambda n: print(f"scored {n}/{args.num_sample}",
                                      flush=True) if n % 6400 == 0 else None)
         boundaries = train_dual_boundaries(z_flat, p_flat, scores,

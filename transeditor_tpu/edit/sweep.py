@@ -30,12 +30,37 @@ from transeditor_tpu.utils.image import make_grid, save_png, to_uint8
 from transeditor_tpu.utils.sampling import sample_zp
 
 
+def _latent_store(n: int, dim: int, store: str, mem_budget_bytes: int,
+                  memmap_dir: Optional[str]) -> np.ndarray:
+    """[n, dim] float32 accumulator: RAM if it fits the budget, else an
+    unlinked-on-close tempfile memmap.  At the reference protocol scale
+    (150k x 8192 x 2 trees = 9.8 GB) the list-concatenate pattern OOMs
+    production hosts, so the sweep streams batches straight into this
+    (reference edit_all_noinversion_ffhq.py:100-149 has the same flaw)."""
+    nbytes = n * dim * 4
+    if store == "ram" or (store == "auto" and nbytes <= mem_budget_bytes):
+        return np.empty((n, dim), np.float32)
+    import tempfile
+    f = tempfile.NamedTemporaryFile(
+        prefix="sweep_latents_", suffix=".f32", dir=memmap_dir)
+    mm = np.memmap(f, dtype=np.float32, mode="w+", shape=(n, dim))
+    mm._tmpfile = f  # keep the fd alive; file unlinks when mm dies
+    return mm
+
+
 def collect_scored_latents(
     cfg: ModelConfig, gen_params, scorer: Callable,
     n_samples: int = 150_000, batch: int = 64, truncation: float = 1.0,
     seed: int = 0, progress: Optional[Callable[[int], None]] = None,
+    store: str = "auto", mem_budget_bytes: int = 1 << 30,
+    memmap_dir: Optional[str] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Returns (z_plus_flat [N, 16*512], p_plus_flat, scores [N])."""
+    """Returns (z_plus_flat [N, 16*512], p_plus_flat, scores [N]).
+
+    ``store``: 'ram' | 'memmap' | 'auto' (memmap once the two latent
+    trees would exceed ``mem_budget_bytes``).  Batches stream directly
+    into the preallocated store, so peak host RAM stays at
+    O(batch + budget) even for the 150k-sample protocol."""
     gen = Generator(cfg)
     gen_params = jax.tree.map(jnp.asarray, gen_params)
     score_fn, score_params = _scorer_parts(scorer)
@@ -52,24 +77,29 @@ def collect_scored_latents(
                         map_p=False).image
         return zp, pp, score_fn(sp, img.astype(jnp.float32))
 
+    dim = cfg.n_tokens * cfg.style_dim
+    # the budget covers BOTH latent trees
+    z = _latent_store(n_samples, dim, store, mem_budget_bytes // 2,
+                      memmap_dir)
+    p = _latent_store(n_samples, dim, store, mem_budget_bytes // 2,
+                      memmap_dir)
+    s = np.empty((n_samples,), np.float32)
+
     key = jax.random.PRNGKey(seed)
-    zs, ps, scores = [], [], []
     done = 0
     i = 0
     while done < n_samples:
-        zp, pp, s = batch_fn(gen_params, score_params,
-                             jax.random.fold_in(key, i))
-        zs.append(np.asarray(zp))
-        ps.append(np.asarray(pp))
-        scores.append(np.asarray(s))
-        done += batch
+        zp, pp, sb = batch_fn(gen_params, score_params,
+                              jax.random.fold_in(key, i))
+        n = min(batch, n_samples - done)
+        z[done:done + n] = np.asarray(zp)[:n].reshape(n, dim)
+        p[done:done + n] = np.asarray(pp)[:n].reshape(n, dim)
+        s[done:done + n] = np.asarray(sb)[:n]
+        done += n
         i += 1
         if progress:
             progress(done)
-    z = np.concatenate(zs)[:n_samples]
-    p = np.concatenate(ps)[:n_samples]
-    s = np.concatenate(scores)[:n_samples]
-    return (z.reshape(n_samples, -1), p.reshape(n_samples, -1), s)
+    return z, p, s
 
 
 def train_dual_boundaries(z_flat, p_flat, scores, chosen_ratio=0.02,
