@@ -1,0 +1,71 @@
+"""Sampling scale-out shape on the virtual CPU mesh.
+
+bench.py's endorsed scale-out route is data-parallel sampling over a
+(data,) mesh (one batch shard per chip, params replicated).  Real
+multi-chip hardware isn't reachable from this box, so this measures the
+SHAPE of the scaling on N virtual CPU devices: per-chip batch held
+fixed, the global batch grows with the mesh, and the metric reported is
+aggregate img/s at each mesh size plus the GSPMD overhead vs ideal.
+
+On a single physical core the ideal aggregate is FLAT (N virtual
+devices share one core, so N x work takes N x time); any sub-flat curve
+exposes collective/resharding overhead the GSPMD partitioner added on
+top of pure compute.  On real chips the same program's aggregate
+scales linearly because each shard owns a core's worth of silicon —
+that linearity on hardware is exactly what `vs ideal ~= 1.0` here
+predicts, and what tests/test_bench_mesh.py pins for correctness.
+
+Run:  JAX_PLATFORMS=cpu python scripts/mesh_scaling.py
+"""
+
+import json
+import time
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import numpy as np  # noqa: E402
+
+from bench import build_sampler  # noqa: E402
+from transeditor_tpu.config import ModelConfig  # noqa: E402
+from transeditor_tpu.parallel import create_mesh  # noqa: E402
+
+BATCH_PER_CHIP = 8
+ITERS = 4
+# big enough that compute dwarfs dispatch, small enough for CPU
+CFG = ModelConfig(size=32, n_trans=2, max_channels=256, dtype="float32")
+
+
+def measure(n_dev: int) -> float:
+    mesh = create_mesh(n_data=n_dev, n_model=1,
+                       devices=jax.devices()[:n_dev])
+    params, sample_many, batch = build_sampler(
+        CFG, BATCH_PER_CHIP, ITERS, mesh)
+    key = jax.random.PRNGKey(0)
+    float(np.asarray(sample_many(params, key)))        # compile+run
+    best = float("inf")
+    for i in range(3):
+        t0 = time.perf_counter()
+        acc = float(np.asarray(sample_many(params, jax.random.fold_in(key, i))))
+        best = min(best, time.perf_counter() - t0)
+        assert np.isfinite(acc)
+    return batch * ITERS / best
+
+
+def main():
+    base = None
+    rows = []
+    for n in (1, 2, 4, 8):
+        rate = measure(n)
+        base = base or rate
+        rows.append({"devices": n, "global_batch": BATCH_PER_CHIP * n,
+                     "img_per_s": round(rate, 1),
+                     "vs_ideal_flat": round(rate / base, 3)})
+        print(json.dumps(rows[-1]), flush=True)
+    print(json.dumps({"table": rows}))
+
+
+if __name__ == "__main__":
+    main()
