@@ -19,7 +19,11 @@ Run:  JAX_PLATFORMS=cpu python scripts/mesh_scaling.py
 """
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
