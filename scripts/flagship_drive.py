@@ -35,6 +35,7 @@ STATS = os.path.join(WORK, "real_stats.npz")
 
 def fabricate():
     """Build the bundle + a tiny 'real' image folder (torch CPU)."""
+    sys.path.insert(0, ROOT)
     sys.path.insert(0, os.path.join(ROOT, "tests"))
     import numpy as np
     import torch
