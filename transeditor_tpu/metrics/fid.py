@@ -38,6 +38,11 @@ def frechet_distance(mean1, cov1, mean2, cov2, eps: float = 1e-6) -> float:
         cc, _ = scipy.linalg.sqrtm((cov1 + offset) @ (cov2 + offset),
                                    disp=False)
     if np.iscomplexobj(cc):
+        # fid_query.py:53-58: a materially imaginary sqrtm means the
+        # stats are bad — fail loudly rather than report a wrong FID
+        if not np.allclose(np.diagonal(cc).imag, 0, atol=1e-3):
+            raise ValueError(
+                f"Imaginary component {np.max(np.abs(cc.imag))}")
         cc = cc.real
     diff = mean1 - mean2
     return float(diff @ diff + np.trace(cov1) + np.trace(cov2)
