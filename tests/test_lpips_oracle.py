@@ -186,3 +186,57 @@ def test_richzhang_netlin_graph_oracle(net):
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want.astype(np.float64),
                                rtol=1e-3, atol=1e-6)
+
+
+def _load_ref_stargan_lpips():
+    """Load the reference metrics/lpips.py LPIPS with its REAL bundled
+    lin heads (cwd-relative ckpt load), inside the stubbed import env."""
+    spec = importlib.util.spec_from_file_location(
+        "ref_stargan_lpips", os.path.join(REF, "metrics/lpips.py"))
+    mod = importlib.util.module_from_spec(spec)
+    cwd = os.getcwd()
+    os.chdir(REF)  # it loads 'metrics/lpips_weights.ckpt' from cwd
+    try:
+        spec.loader.exec_module(mod)
+        return mod.LPIPS().eval()
+    finally:
+        os.chdir(cwd)
+
+
+@pytest.mark.parametrize("pair_chunk", [36, 12])
+def test_pairwise_diversity_assembly_oracle(pair_chunk):
+    """The LPIPS-diversity ASSEMBLY vs the reference: identical images
+    through our batched-triu-chunk pairwise mean
+    (``make_pairwise_lpips_mean``) and the reference's per-pair loop
+    ``calculate_lpips_given_images`` (evaluate_query.py:82-91),
+    transcribed verbatim below with the same StarGAN LPIPS weights.
+
+    Pins the pair enumeration (i<j upper triangle), the mean-of-pairs
+    reduction, and the chunked gather evaluation (chunk=12 exercises
+    the multi-chunk concat path; 36 the single-chunk path).
+    """
+    import jax.numpy as jnp
+    from transeditor_tpu.metrics.evaluator import make_pairwise_lpips_mean
+
+    torch.manual_seed(0)
+    with _reference_import_env():
+        ref = _load_ref_stargan_lpips()
+
+    n = 9  # C(9,2) = 36 pairs
+    g = torch.Generator().manual_seed(7)
+    group = torch.rand((n, 3, 64, 64), generator=g) * 2 - 1
+
+    # evaluate_query.py:82-91 verbatim (lpips passed in, as at :97)
+    with torch.no_grad():
+        lpips_values = []
+        num_rand_outputs = len(group)
+        for i in range(num_rand_outputs - 1):
+            for j in range(i + 1, num_rand_outputs):
+                lpips_values.append(ref(group[i], group[j]))
+        want = float(torch.mean(torch.stack(lpips_values, dim=0)))
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = load_lpips_params(sd, net="alex")
+    pairwise_mean = make_pairwise_lpips_mean(n, pair_chunk=pair_chunk)
+    got = float(pairwise_mean(params, jnp.asarray(_nhwc(group))))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=1e-6)

@@ -109,6 +109,43 @@ def real_stats_from_source(source, inception_params, resolution: int,
     return compute_stats(np.concatenate(feats))
 
 
+def make_pairwise_lpips_mean(n_images: int, pair_chunk: int = 130,
+                             mesh=None, net: str = "alex"):
+    """Mean LPIPS over all unordered image pairs of one group — the
+    reference's ``calculate_lpips_given_images`` (evaluate_query.py:
+    82-91: pairs (i, j) for i<j, mean over the C(n,2) distances).
+
+    TPU-native: the pairs are evaluated as chunked BATCHED LPIPS calls
+    over gathered triu index pairs instead of C(n,2) single-image
+    calls.  Returns a traceable ``(lpips_params, images[N,H,W,C]) ->
+    scalar`` for use inside jitted programs.
+    """
+    lpips = LPIPS(net=net)
+    iu, ju = np.triu_indices(n_images, k=1)
+    iu = jnp.asarray(iu)
+    ju = jnp.asarray(ju)
+    n_pairs = len(iu)
+    # a chunk larger than the pair list can't be sliced — run them all
+    # in one chunk instead
+    pair_chunk = min(pair_chunk, n_pairs)
+    assert n_pairs % pair_chunk == 0, (
+        f"pair_chunk {pair_chunk} must divide n_pairs {n_pairs}")
+
+    def pairwise_mean(lp, img):
+        def chunk_dist(start):
+            ii = jax.lax.dynamic_slice_in_dim(iu, start, pair_chunk)
+            jj = jax.lax.dynamic_slice_in_dim(ju, start, pair_chunk)
+            a = _shard_batch_constraint(img[ii], mesh)
+            b = _shard_batch_constraint(img[jj], mesh)
+            return lpips.apply(lp, a, b)
+
+        n_chunks = max(1, n_pairs // pair_chunk)
+        dists = [chunk_dist(c * pair_chunk) for c in range(n_chunks)]
+        return jnp.mean(jnp.concatenate(dists)[:n_pairs])
+
+    return pairwise_mean
+
+
 def evaluate_lpips_diversity(cfg: ModelConfig, gen_params, lpips_params,
                              n_images: int = 40, n_batches: int = 1000,
                              truncation: float = 1.0, seed: int = 0,
@@ -120,19 +157,9 @@ def evaluate_lpips_diversity(cfg: ModelConfig, gen_params, lpips_params,
     calls over gathered index pairs instead of 780 single-image calls.
     """
     gen = Generator(cfg)
-    lpips = LPIPS(net="alex")
     gen_params = jax.tree.map(jnp.asarray, gen_params)
     lpips_params = jax.tree.map(jnp.asarray, lpips_params)
-
-    iu, ju = np.triu_indices(n_images, k=1)
-    iu = jnp.asarray(iu)
-    ju = jnp.asarray(ju)
-    n_pairs = len(iu)
-    # a chunk larger than the pair list can't be sliced — run them all
-    # in one chunk instead
-    pair_chunk = min(pair_chunk, n_pairs)
-    assert n_pairs % pair_chunk == 0, (
-        f"pair_chunk {pair_chunk} must divide n_pairs {n_pairs}")
+    pairwise_mean = make_pairwise_lpips_mean(n_images, pair_chunk, mesh)
 
     # same-flags select a sampling SHAPE (one draw broadcast vs per-item
     # draws) — a Python-level branch, so they must be static jit args
@@ -144,17 +171,7 @@ def evaluate_lpips_diversity(cfg: ModelConfig, gen_params, lpips_params,
         p = sample_tokens(kp, n_images, cfg.n_tokens, cfg.param_dim,
                           truncation, same=p_same)
         img = gen.apply(gp, z, p).image.astype(jnp.float32)
-
-        def chunk_dist(start):
-            ii = jax.lax.dynamic_slice_in_dim(iu, start, pair_chunk)
-            jj = jax.lax.dynamic_slice_in_dim(ju, start, pair_chunk)
-            a = _shard_batch_constraint(img[ii], mesh)
-            b = _shard_batch_constraint(img[jj], mesh)
-            return lpips.apply(lp, a, b)
-
-        n_chunks = max(1, n_pairs // pair_chunk)
-        dists = [chunk_dist(c * pair_chunk) for c in range(n_chunks)]
-        return jnp.mean(jnp.concatenate(dists)[:n_pairs])
+        return pairwise_mean(lp, img)
 
     key = jax.random.PRNGKey(seed)
     sums = {"all": 0.0, "fix_z": 0.0, "fix_p": 0.0}
