@@ -35,10 +35,12 @@ def test_fid_eval_on_mesh():
     # imaginary in the reference's absolute atol-1e-3 sense — its
     # calc_fid raises ValueError on exactly these stats
     # (fid_query.py:54-58; branch parity pinned in test_fid_oracle.py)
+    # n_samples=24 @ batch 16: two batches with a partial tail, so the
+    # streamed preallocated feature store's truncation path runs too
     import pytest
     with pytest.raises(ValueError, match="Imaginary"):
         evaluate_fid(CFG, gen_params, inc_params, mean, cov,
-                     n_samples=16, batch=16, mesh=mesh)
+                     n_samples=24, batch=16, mesh=mesh)
 
 
 def test_lpips_diversity_three_regimes():

@@ -142,3 +142,54 @@ def test_lpips_real_reference_head_weights():
                         .randn(2, 64, 64, 3).astype(np.float32) * 0.3)
         d = np.asarray(lpips.apply(params, x, jnp.zeros_like(x)))
         assert d.shape == (2,) and np.all(np.isfinite(d))
+
+
+def _load_reference_prdc():
+    """The reference's NAVER compute_prdc (metrics/prdc.py) — imports
+    only numpy + sklearn.metrics, so it runs as-is."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_prdc", "/root/reference/metrics/prdc.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.compute_prdc
+
+
+@pytest.mark.parametrize("nearest_k,row_chunk", [(3, 64), (3, 100),
+                                                 (3, 2048), (5, 64)])
+def test_prdc_oracle_vs_reference(nearest_k, row_chunk):
+    """Exact oracle: our streamed chunked-matmul PRDC vs the reference's
+    dense sklearn implementation on the same features — pins the k-NN
+    radius convention (k+1 smallest incl. self), the strict-< ball
+    membership, all four reductions, and the row-padding path
+    (row_chunk=100 does not divide 300/260; 2048 runs single-chunk)."""
+    ref_prdc = _load_reference_prdc()
+    rng = np.random.RandomState(0)
+    real = rng.randn(300, 8).astype(np.float32)
+    fake = (rng.randn(260, 8) * 1.3 + 0.4).astype(np.float32)
+
+    want = ref_prdc(real, fake, nearest_k)
+    got = compute_prdc(real, fake, nearest_k, row_chunk=row_chunk)
+
+    assert set(got) == set(want)
+    for key in want:
+        # the reductions are means of boolean comparisons; float32
+        # matmul-expansion noise may flip a pair sitting exactly on a
+        # ball boundary, so allow at most one flipped sample per metric
+        np.testing.assert_allclose(got[key], float(want[key]),
+                                   atol=1.01 / 260, rtol=0,
+                                   err_msg=key)
+
+
+def test_prdc_streaming_matches_itself_across_chunks():
+    """Chunking is a pure execution detail: results are identical
+    whatever the row_chunk (incl. chunks larger than N)."""
+    rng = np.random.RandomState(2)
+    real = rng.randn(130, 16).astype(np.float32)
+    fake = rng.randn(90, 16).astype(np.float32)
+    base = compute_prdc(real, fake, 3, row_chunk=8192)
+    for chunk in (7, 64, 130):
+        out = compute_prdc(real, fake, 3, row_chunk=chunk)
+        for key in base:
+            np.testing.assert_allclose(out[key], base[key], rtol=0,
+                                       atol=0, err_msg=f"{key}@{chunk}")
