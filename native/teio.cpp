@@ -92,12 +92,16 @@ struct Env {
   size_t psize = 4096;
   Db main_db{};
 
+  // bounds-checked: a truncated/corrupt file must fail the lookup, not
+  // fault the mmap (the Python lmdb binding raises; so do we)
   const PageHdr* page(uint64_t pgno) const {
+    if (pgno >= size / psize) return nullptr;
     return reinterpret_cast<const PageHdr*>(map + pgno * psize);
   }
 };
 
-static const Meta* meta_at(const uint8_t* base) {
+static const Meta* meta_at(const uint8_t* base, size_t avail) {
+  if (avail < sizeof(PageHdr) + sizeof(Meta)) return nullptr;
   const PageHdr* ph = reinterpret_cast<const PageHdr*>(base);
   if (!(ph->flags & P_META)) return nullptr;
   const Meta* m = reinterpret_cast<const Meta*>(base + sizeof(PageHdr));
@@ -124,12 +128,12 @@ Env* env_open(const char* path) {
   env->size = st.st_size;
 
   // find page size by locating the second meta page
-  const Meta* m0 = meta_at(env->map);
+  const Meta* m0 = meta_at(env->map, env->size);
   const Meta* m1 = nullptr;
   size_t psize = 0;
   for (size_t cand : {4096ul, 8192ul, 16384ul, 32768ul, 65536ul}) {
     if (cand >= env->size) break;
-    const Meta* m = meta_at(env->map + cand);
+    const Meta* m = meta_at(env->map + cand, env->size - cand);
     if (m) { m1 = m; psize = cand; break; }
   }
   if (!m0 || !m1) { delete env; return nullptr; }
@@ -146,15 +150,24 @@ void env_close(Env* env) {
   delete env;
 }
 
-static const Node* node_at(const PageHdr* pg, size_t i) {
+// nullptr if the node offset or its key bytes fall outside the page
+static const Node* node_at(const Env* env, const PageHdr* pg, size_t i) {
   const uint16_t* ptrs = reinterpret_cast<const uint16_t*>(
       reinterpret_cast<const uint8_t*>(pg) + sizeof(PageHdr));
-  return reinterpret_cast<const Node*>(
-      reinterpret_cast<const uint8_t*>(pg) + ptrs[i]);
+  size_t off = ptrs[i];
+  if (off < sizeof(PageHdr) || off + sizeof(Node) > env->psize)
+    return nullptr;
+  const Node* n = reinterpret_cast<const Node*>(
+      reinterpret_cast<const uint8_t*>(pg) + off);
+  if (off + sizeof(Node) + n->ksize > env->psize) return nullptr;
+  return n;
 }
 
-static size_t num_keys(const PageHdr* pg) {
-  return (pg->b.lower - sizeof(PageHdr)) >> 1;
+static size_t num_keys(const Env* env, const PageHdr* pg) {
+  if (pg->b.lower < sizeof(PageHdr)) return 0;
+  size_t n = (pg->b.lower - sizeof(PageHdr)) >> 1;
+  // the node-pointer array itself must fit in the page
+  return std::min(n, (env->psize - sizeof(PageHdr)) / 2);
 }
 
 static int key_cmp(const uint8_t* a, size_t alen, const uint8_t* b,
@@ -173,40 +186,56 @@ static const uint8_t* node_key(const Node* n) {
   return reinterpret_cast<const uint8_t*>(n) + 8;
 }
 
-// returns 0 on success
+// returns 0 on success; -1 not found; -2/-3 malformed database
 int get(const Env* env, const uint8_t* key, size_t klen,
         const uint8_t** val, size_t* vlen) {
   if (env->main_db.root == ~0ull) return -1;
   const PageHdr* pg = env->page(env->main_db.root);
-  // descend branches
-  while (pg->flags & P_BRANCH) {
-    size_t n = num_keys(pg);
+  // descend branches; depth-capped so a cyclic pgno chain in a corrupt
+  // file terminates instead of spinning
+  for (int depth = 0; pg && (pg->flags & P_BRANCH); ++depth) {
+    if (depth > 64) return -3;
+    size_t n = num_keys(env, pg);
+    if (n == 0) return -3;
     // find last child whose key <= search key (node 0 key is implicit-low)
     size_t lo = 1, hi = n;  // candidate range for first key > target
     while (lo < hi) {
       size_t mid = (lo + hi) / 2;
-      const Node* nd = node_at(pg, mid);
+      const Node* nd = node_at(env, pg, mid);
+      if (!nd) return -3;
       if (key_cmp(node_key(nd), nd->ksize, key, klen) <= 0) lo = mid + 1;
       else hi = mid;
     }
-    pg = env->page(branch_child(node_at(pg, lo - 1)));
+    const Node* child = node_at(env, pg, lo - 1);
+    if (!child) return -3;
+    pg = env->page(branch_child(child));
   }
-  if (!(pg->flags & P_LEAF)) return -2;
-  size_t n = num_keys(pg);
+  if (!pg || !(pg->flags & P_LEAF)) return -2;
+  size_t n = num_keys(env, pg);
   size_t lo = 0, hi = n;
   while (lo < hi) {
     size_t mid = (lo + hi) / 2;
-    const Node* nd = node_at(pg, mid);
+    const Node* nd = node_at(env, pg, mid);
+    if (!nd) return -3;
     int c = key_cmp(node_key(nd), nd->ksize, key, klen);
     if (c == 0) {
+      size_t off = size_t(reinterpret_cast<const uint8_t*>(nd)
+                          - reinterpret_cast<const uint8_t*>(pg));
       size_t dsize = uint64_t(nd->lo) | (uint64_t(nd->hi) << 16);
       if (nd->flags & F_BIGDATA) {
+        if (off + sizeof(Node) + nd->ksize + 8 > env->psize) return -3;
         uint64_t opg;
         memcpy(&opg, node_key(nd) + nd->ksize, 8);
-        *val = reinterpret_cast<const uint8_t*>(env->page(opg))
-             + sizeof(PageHdr);
+        const PageHdr* oph = env->page(opg);
+        // overflow data is contiguous pages; the whole run must be mapped
+        if (!oph ||
+            dsize > env->size - (opg * env->psize + sizeof(PageHdr)))
+          return -3;
+        *val = reinterpret_cast<const uint8_t*>(oph) + sizeof(PageHdr);
         *vlen = dsize;
       } else {
+        if (off + sizeof(Node) + nd->ksize + dsize > env->psize)
+          return -3;
         *val = node_key(nd) + nd->ksize;
         *vlen = dsize;
       }

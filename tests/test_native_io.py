@@ -174,3 +174,56 @@ def test_jpeg_encode_roundtrip():
     assert data[:2] == b"\xff\xd8"          # JPEG SOI marker
     back = decode_jpeg(data, 64, 64)
     assert np.abs(back.astype(int) - img.astype(int)).mean() < 4
+
+
+def test_lmdb_malformed_inputs_fail_cleanly(tmp_path):
+    """A truncated or corrupted data.mdb must raise/return-missing from
+    Python, never fault the process — the engine bounds-checks every
+    page number, node offset, and value extent against the mapped file
+    (the Python lmdb binding raises MDB_CORRUPTED; we mirror that)."""
+    items = {f"{i:05d}".encode(): b"v" * (50 + i) for i in range(300)}
+    good = str(tmp_path / "good")
+    write_lmdb(good, items)
+    blob = open(os.path.join(good, "data.mdb"), "rb").read()
+
+    def mk(name, data):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "data.mdb").write_bytes(data)
+        return str(d)
+
+    # not a database at all
+    with pytest.raises(IOError):
+        NativeLMDB(mk("garbage", b"\x00" * 16384))
+    # too short to hold both meta pages
+    with pytest.raises(IOError):
+        NativeLMDB(mk("tiny", blob[:100]))
+    # valid metas but the tree pages are gone: every lookup misses,
+    # cleanly
+    db = NativeLMDB(mk("headonly", blob[:8192]))
+    assert all(db.get(k) is None for k in list(items)[:20])
+    db.close()
+    # valid metas, tree bytes shredded: no lookup may crash
+    bad = bytearray(blob)
+    rng = np.random.RandomState(0)
+    body = np.frombuffer(rng.bytes(len(bad) - 8192), np.uint8)
+    bad[8192:] = body.tobytes()
+    db = NativeLMDB(mk("shredded", bytes(bad)))
+    for k in list(items)[:50]:
+        db.get(k)  # any answer is fine; crashing is not
+    db.close()
+    # root pgno pointing far outside the file
+    bad = bytearray(blob)
+    # meta Db.root is at offset 16 (PageHdr) + 8+4+4+8+8 ... patch both
+    # meta pages' main-db root fields with a huge page number
+    for base in (0, 4096):
+        root_off = base + 16 + 4 + 4 + 8 + 8 + 48 + 40
+        bad[root_off:root_off + 8] = (2 ** 40).to_bytes(8, "little")
+    db_dir = mk("badroot", bytes(bad))
+    try:
+        db = NativeLMDB(db_dir)
+        for k in list(items)[:20]:
+            db.get(k)
+        db.close()
+    except IOError:
+        pass  # rejecting the env outright is also fine
