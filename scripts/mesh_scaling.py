@@ -1,4 +1,4 @@
-"""Sampling scale-out shape on the virtual CPU mesh.
+"""Sampling / train-step scale-out shape on the virtual CPU mesh.
 
 bench.py's endorsed scale-out route is data-parallel sampling over a
 (data,) mesh (one batch shard per chip, params replicated).  Real
@@ -15,7 +15,9 @@ scales linearly because each shard owns a core's worth of silicon —
 that linearity on hardware is exactly what `vs ideal ~= 1.0` here
 predicts, and what tests/test_bench_mesh.py pins for correctness.
 
-Run:  JAX_PLATFORMS=cpu python scripts/mesh_scaling.py
+Run:  JAX_PLATFORMS=cpu python scripts/mesh_scaling.py           # sampling
+      JAX_PLATFORMS=cpu python scripts/mesh_scaling.py --train   # train step
+                       (full step, gradient psums over the data axis)
 """
 
 import json
@@ -24,6 +26,14 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# the train step's gradient all-reduces hit XLA:CPU's 40s rendezvous
+# watchdog on a 1-core host (see CLAUDE.md) — widen it before jax init
+_flags = os.environ.get("XLA_FLAGS", "")
+if "collective_call_terminate_timeout" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+        " --xla_cpu_collective_timeout_seconds=1200").strip()
 
 import jax
 
@@ -58,11 +68,42 @@ def measure(n_dev: int) -> float:
     return batch * ITERS / best
 
 
+def measure_train(n_dev: int) -> float:
+    """Aggregate train img/s: full step (D+G+EMA; regs off — the 15/16
+    common case) on an (n_dev, 1) data mesh, per-chip batch fixed."""
+    from transeditor_tpu.config import TrainConfig
+    from transeditor_tpu.parallel import shard_batch, shard_params
+    from transeditor_tpu.train.gan import init_state, make_train_step
+
+    mesh = create_mesh(n_data=n_dev, n_model=1,
+                       devices=jax.devices()[:n_dev])
+    tcfg = TrainConfig(batch_size=BATCH_PER_CHIP * n_dev)
+    state = init_state(CFG, tcfg, jax.random.PRNGKey(0))
+    state = state.replace(
+        params_g=shard_params(state.params_g, mesh, min_size=32),
+        params_d=shard_params(state.params_d, mesh, min_size=32),
+        g_ema=shard_params(state.g_ema, mesh, min_size=32))
+    real = shard_batch(
+        jax.random.normal(jax.random.PRNGKey(1),
+                          (tcfg.batch_size, CFG.size, CFG.size, 3)), mesh)
+    step = make_train_step(CFG, tcfg)
+    state, m = step(state, real, jax.random.PRNGKey(2))   # compile+run
+    assert np.isfinite(float(m["d"]))
+    best = float("inf")
+    for i in range(3):
+        t0 = time.perf_counter()
+        state, m = step(state, real, jax.random.fold_in(jax.random.PRNGKey(3), i))
+        assert np.isfinite(float(m["d"]))                 # forces fetch
+        best = min(best, time.perf_counter() - t0)
+    return tcfg.batch_size / best
+
+
 def main():
+    fn = measure_train if "--train" in sys.argv else measure
     base = None
     rows = []
     for n in (1, 2, 4, 8):
-        rate = measure(n)
+        rate = fn(n)
         base = base or rate
         rows.append({"devices": n, "global_batch": BATCH_PER_CHIP * n,
                      "img_per_s": round(rate, 1),

@@ -138,6 +138,88 @@ def test_donated_step_matches_plain():
         np.asarray(a), np.asarray(b)), sa.params_d, sb.params_d)
 
 
+def test_grad_accum_matches_manual_schedule():
+    """grad_accum=2 must equal the hand-computed mean of per-microbatch
+    gradients applied once — pins the key-split order (k_d/k_g then a
+    K-way split), the [K, B/K] reshape, and mean-of-grads exactness."""
+    import optax
+
+    from transeditor_tpu.models import Discriminator, Generator
+    from transeditor_tpu.train import losses
+    from transeditor_tpu.train.gan import make_optimizers
+    from transeditor_tpu.utils.sampling import sample_zp
+
+    tcfg = TrainConfig(batch_size=4, grad_accum=2)
+    state = init_state(CFG, tcfg, jax.random.PRNGKey(0))
+    step = make_train_step(CFG, tcfg)
+    real = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 3))
+    rng = jax.random.PRNGKey(9)
+    new_state, m = step(state, real, rng)
+
+    gen, disc = Generator(CFG), Discriminator(CFG)
+    g_opt, d_opt = make_optimizers(tcfg)
+    f32 = jnp.float32
+
+    def d_loss(params_d, params_g, r, key):
+        kz, _ = jax.random.split(key)
+        z, p = sample_zp(kz, r.shape[0], CFG.n_tokens, CFG.style_dim)
+        fake = gen.apply({"params": params_g}, z, p).image
+        fake_pred = disc.apply({"params": params_d},
+                               jax.lax.stop_gradient(fake))
+        real_pred = disc.apply({"params": params_d}, r)
+        return losses.d_logistic_loss(real_pred.astype(f32),
+                                      fake_pred.astype(f32))
+
+    def g_loss(params_g, params_d, batch, key):
+        kz, _ = jax.random.split(key)
+        z, p = sample_zp(kz, batch, CFG.n_tokens, CFG.style_dim)
+        fake = gen.apply({"params": params_g}, z, p).image
+        return losses.g_nonsaturating_loss(
+            disc.apply({"params": params_d}, fake).astype(f32))
+
+    k_d, k_g = jax.random.split(rng, 6)[:2]
+    micro = real.reshape(2, 2, 16, 16, 3)
+
+    kds = jax.random.split(k_d, 2)
+    d_grads = [jax.grad(d_loss)(state.params_d, state.params_g,
+                                micro[i], kds[i]) for i in range(2)]
+    mean_d = jax.tree.map(lambda a, b: (a + b) / 2, *d_grads)
+    upd, _ = d_opt.update(mean_d, state.opt_d, state.params_d)
+    want_pd = optax.apply_updates(state.params_d, upd)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        new_state.params_d, want_pd)
+
+    kgs = jax.random.split(k_g, 2)
+    g_grads = [jax.grad(g_loss)(state.params_g, want_pd, 2, kgs[i])
+               for i in range(2)]
+    mean_g = jax.tree.map(lambda a, b: (a + b) / 2, *g_grads)
+    upd, _ = g_opt.update(mean_g, state.opt_g, state.params_g)
+    want_pg = optax.apply_updates(state.params_g, upd)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        new_state.params_g, want_pg)
+
+
+def test_grad_accum_reg_step_and_validation():
+    """Both 2nd-order regularizers run under accumulation (R1 is
+    microbatched, path reg stays single-shot); indivisible batches are
+    rejected at trace time."""
+    tcfg = TrainConfig(batch_size=4, grad_accum=2)
+    state = init_state(CFG, tcfg, jax.random.PRNGKey(0))
+    step = make_train_step(CFG, tcfg)
+    real = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 3))
+    new_state, m = step(state, real, jax.random.PRNGKey(3),
+                        do_d_reg=True, do_g_reg=True)
+    for k in ("d", "g", "r1", "path"):
+        assert np.isfinite(float(m[k])), k
+    assert int(new_state.step) == 1
+
+    bad = make_train_step(CFG, TrainConfig(batch_size=4, grad_accum=3))
+    with pytest.raises(ValueError, match="grad_accum"):
+        bad(state, real, jax.random.PRNGKey(4))
+
+
 def test_noise_injection_train_step():
     """Full step with layer noise injection ON (--inject_noise,
     reference train_spatial_query.py:402): both 2nd-order regs must

@@ -29,6 +29,7 @@ def build_configs(args) -> tuple[ModelConfig, TrainConfig]:
         g_reg_every=args.g_reg_every,
         path_regularize=args.path_regularize,
         path_batch_shrink=args.path_batch_shrink,
+        grad_accum=args.grad_accum,
         spatial_regu=args.spatial_regu,
         spatial_path_regularize=args.spatial_path_regularize,
         regu_space=args.regu_space,
@@ -51,6 +52,10 @@ def main(argv=None):
     p.add_argument("--g_reg_every", type=int, default=4)
     p.add_argument("--path_regularize", type=float, default=2.0)
     p.add_argument("--path_batch_shrink", type=int, default=2)
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="split the D/G losses over K sequential "
+                        "microbatches (activation-HBM knob for large "
+                        "sizes; the averaged gradient is exact)")
     p.add_argument("--spatial_regu", action="store_true")
     p.add_argument("--spatial_path_regularize", type=float, default=2.0)
     p.add_argument("--regu_space", type=str, default="p+")

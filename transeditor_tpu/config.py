@@ -115,6 +115,7 @@ class TrainConfig:
     g_reg_every: int = 4
     path_regularize: float = 2.0
     path_batch_shrink: int = 2
+    grad_accum: int = 1                  # microbatches per step (HBM knob)
     spatial_regu: bool = False
     spatial_path_regularize: float = 2.0
     regu_space: str = "p+"               # --regu_sapce [sic]

@@ -83,6 +83,22 @@ def init_state(cfg: ModelConfig, tcfg: TrainConfig, rng: jax.Array,
     )
 
 
+def _accum_mean(fn: Callable, xs, length: int):
+    """Mean of ``fn``'s outputs over ``length`` microbatches via scan.
+
+    ``fn(*x)`` must return a pytree whose leaves are already means over
+    the microbatch (losses, score means, grads of mean losses) — the
+    mean over equal-size microbatches then equals the full-batch value
+    EXACTLY (linearity of the gradient of a mean loss), so accumulation
+    changes memory, not numerics.
+    """
+    def body(_, x):
+        return None, fn(*x)
+
+    _, outs = jax.lax.scan(body, None, xs, length=length)
+    return jax.tree.map(lambda t: jnp.mean(t, axis=0), outs)
+
+
 def make_train_step(cfg: ModelConfig, tcfg: TrainConfig,
                     gen: Optional[Generator] = None,
                     disc: Optional[Discriminator] = None,
@@ -95,6 +111,17 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig,
     afterwards — the training loop's ``state = step(state, ...)``
     pattern satisfies this; tests that compare before/after trees must
     keep the default.
+
+    ``tcfg.grad_accum = K > 1`` splits the D loss, R1 penalty and G
+    loss over K sequential microbatches (``lax.scan``) and applies the
+    averaged gradient once — activation memory scales with B/K while
+    the optimizer trajectory matches the full-batch step exactly (the
+    losses are batch means, so mean-of-microbatch-grads == full-batch
+    grad; only the RNG consumption differs: fresh latents are drawn
+    per microbatch).  The path-length regularizers stay single-shot —
+    their memory knob is the reference's own ``path_batch_shrink``
+    (train_spatial_query.py:229), and the running path-mean penalty is
+    a batch-global statistic that cannot be microbatched exactly.
     """
     gen = gen or Generator(cfg)
     disc = disc or Discriminator(cfg)
@@ -206,10 +233,24 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig,
         metrics = {}
         k_d, k_g, k_path, k_pnoise, k_sp, k_spn = jax.random.split(rng, 6)
 
+        n_accum = max(1, int(tcfg.grad_accum))
+        if real.shape[0] % n_accum:
+            raise ValueError(
+                f"grad_accum={n_accum} must divide the per-step batch "
+                f"{real.shape[0]}")
+        micro_b = real.shape[0] // n_accum
+
         # --- D step
-        (d_loss, (real_score, fake_score)), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True)(state.params_d, state.params_g,
-                                     real, k_d)
+        if n_accum > 1:
+            micro_real = real.reshape(n_accum, micro_b, *real.shape[1:])
+            (d_loss, (real_score, fake_score)), d_grads = _accum_mean(
+                lambda r, kk: jax.value_and_grad(d_loss_fn, has_aux=True)(
+                    state.params_d, state.params_g, r, kk),
+                (micro_real, jax.random.split(k_d, n_accum)), n_accum)
+        else:
+            (d_loss, (real_score, fake_score)), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(state.params_d, state.params_g,
+                                         real, k_d)
         upd, opt_d = d_opt.update(d_grads, state.opt_d, state.params_d)
         params_d = optax.apply_updates(state.params_d, upd)
         metrics.update(d=d_loss, real_score=real_score,
@@ -217,8 +258,14 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig,
 
         # --- lazy R1
         if do_d_reg:
-            (_, r1), r1_grads = jax.value_and_grad(
-                d_r1_loss_fn, has_aux=True)(params_d, real)
+            if n_accum > 1:
+                (_, r1), r1_grads = _accum_mean(
+                    lambda r: jax.value_and_grad(d_r1_loss_fn, has_aux=True)(
+                        params_d, r),
+                    (micro_real,), n_accum)
+            else:
+                (_, r1), r1_grads = jax.value_and_grad(
+                    d_r1_loss_fn, has_aux=True)(params_d, real)
             upd, opt_d = d_opt.update(r1_grads, opt_d, params_d)
             params_d = optax.apply_updates(params_d, upd)
             metrics["r1"] = r1
@@ -226,8 +273,14 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig,
             metrics["r1"] = jnp.zeros((), f32)
 
         # --- G step
-        g_loss, g_grads = jax.value_and_grad(g_loss_fn)(
-            state.params_g, params_d, real.shape[0], k_g)
+        if n_accum > 1:
+            g_loss, g_grads = _accum_mean(
+                lambda kk: jax.value_and_grad(g_loss_fn)(
+                    state.params_g, params_d, micro_b, kk),
+                (jax.random.split(k_g, n_accum),), n_accum)
+        else:
+            g_loss, g_grads = jax.value_and_grad(g_loss_fn)(
+                state.params_g, params_d, real.shape[0], k_g)
         upd, opt_g = g_opt.update(g_grads, state.opt_g, state.params_g)
         params_g = optax.apply_updates(state.params_g, upd)
         metrics["g"] = g_loss
