@@ -91,12 +91,20 @@ def _accum_mean(fn: Callable, xs, length: int):
     mean over equal-size microbatches then equals the full-batch value
     EXACTLY (linearity of the gradient of a mean loss), so accumulation
     changes memory, not numerics.
-    """
-    def body(_, x):
-        return None, fn(*x)
 
-    _, outs = jax.lax.scan(body, None, xs, length=length)
-    return jax.tree.map(lambda t: jnp.mean(t, axis=0), outs)
+    The running sum lives in the scan CARRY (one gradient-sized buffer),
+    not in stacked scan outputs — stacking would materialize K copies of
+    the gradient pytree and hand back the memory the microbatching saved.
+    """
+    x0 = jax.tree.map(lambda t: t[0], xs)
+    zeros = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                         jax.eval_shape(fn, *x0))
+
+    def body(acc, x):
+        return jax.tree.map(jnp.add, acc, fn(*x)), None
+
+    total, _ = jax.lax.scan(body, zeros, xs, length=length)
+    return jax.tree.map(lambda t: t / length, total)
 
 
 def make_train_step(cfg: ModelConfig, tcfg: TrainConfig,
