@@ -1,25 +1,34 @@
-"""PPL protocol oracle: the reference's `evaluate_ppl` assembly
-(metrics/evaluate_query.py:135-249) run on torch-CPU vs ours, with
-IDENTICAL generator weights, LPIPS weights, latents and lerp t.
+"""PPL protocol oracle: the reference's OWN ``evaluate_ppl`` run as-is
+(torch-CPU) vs ``metrics/ppl.py``, on identical generator weights,
+LPIPS weights and latent sequences.
 
-The reference function hard-codes device='cuda', n_sample=10000 and its
-internal sampling, so the assembly below is a line-faithful torch-CPU
-transcription parameterized only by (latents, t, batch count) — every
-protocol decision is kept verbatim and cited:
+``evaluate_ppl`` lives in ``/root/reference/metrics/evaluate_query.py``
+(:135-249) whose module imports torch/tensorboard/the CUDA model at top
+level and hard-codes ``device='cuda'``, ``n_sample=10000``,
+``batch=64`` as local assignments — so, exactly like
+``tests/test_fid_oracle.py`` does for ``calc_fid``, we lift the
+function (plus its ``lerp``/``slerp``/``normalize`` helpers) with ast
+and exec it.  The ONLY source rewrites are three literal assignments
+(``device``, ``args_n_sample``, ``args_batch``) so the protocol runs on
+CPU at test scale; every protocol decision — endpoint pairing, lerp at
+(t, t+eps), interleaved restack, eval_plus mapping bypass, center crop,
+LPIPS / eps², residual-batch handling, percentile filter — executes
+from the reference's own lines.
 
-  * endpoint pairing ``x[::2], x[1::2]``                (:174, :193, :205)
-  * lerp at (t, t+eps) / slerp normalize-over-tokens    (:41-42, :31-39)
-  * interleaved restack ``stack([e0,e1],1).view(shape)``(:190, :200, :213)
-  * eval_plus: lerp the MAPPED codes, decode with both
-    mappings bypassed                                   (:165-166, :219-221)
-  * center crop rows 3c:7c cols 2c:6c, c = H//8         (:223-226)
-  * LPIPS(img[::2], img[1::2]) / eps²                   (:236-238)
-  * percentile filter [1st lower, 99th higher] + mean   (:244-249)
-
-Generator weights: random reference init ported via torch_port (the
-oracle-parity pattern).  LPIPS: random shared VGG backbone + the
-reference's REAL bundled v0.1 heads (the lpips-oracle pattern).
+The function's collaborators are injected through the exec namespace:
+  * ``prepare_noise_new`` / ``prepare_param`` — the reference's REAL
+    ``utils/sample.py`` functions, wrapped to record every drawn latent
+    so our side replays the identical sequence;
+  * ``lpips.PerceptualLoss`` — the reference's real net-lin VGG LPIPS
+    with shared random-backbone + bundled v0.1 head weights (the
+    ``test_lpips_oracle`` pattern);
+  * ``generator`` — the reference torch Generator whose state_dict is
+    ported to our params (the oracle-parity pattern).
 """
+
+import ast
+import importlib.util
+import types
 
 import numpy as np
 import pytest
@@ -34,13 +43,51 @@ from transeditor_tpu.config import ModelConfig  # noqa: E402
 from transeditor_tpu.io import generator_params_from_torch  # noqa: E402
 from transeditor_tpu.metrics.ppl import (  # noqa: E402
     make_ppl_distance_fn, percentile_filter_mean)
-from transeditor_tpu.zoo.lpips import LPIPS, load_lpips_params  # noqa: E402
+from transeditor_tpu.zoo.lpips import load_lpips_params  # noqa: E402
+
+REF_EVALUATE_QUERY = "/root/reference/metrics/evaluate_query.py"
+REF_SAMPLE = "/root/reference/utils/sample.py"
 
 SIZE = 32
 CFG = ModelConfig(size=SIZE, n_trans=2, pixel_norm_axis="feature")
-EPS = 1e-4
+EPS = 1e-4           # the reference's hard-coded args_eps
+N_SAMPLE = 26        # 6 full batches of 4 + a residual batch of 2
 BATCH = 4
-N_BATCHES = 3
+
+
+class _LiteralRewrite(ast.NodeTransformer):
+    """Rewrite ``<name> = <literal>`` for the three injected knobs."""
+
+    REWRITES = {"device": "cpu", "args_n_sample": N_SAMPLE,
+                "args_batch": BATCH}
+
+    def visit_Assign(self, node):
+        if (len(node.targets) == 1 and isinstance(node.targets[0], ast.Name)
+                and node.targets[0].id in self.REWRITES
+                and isinstance(node.value, ast.Constant)):
+            node.value = ast.Constant(self.REWRITES[node.targets[0].id])
+        return node
+
+
+def _lift_reference_evaluate_ppl(namespace):
+    src = open(REF_EVALUATE_QUERY).read()
+    tree = ast.parse(src)
+    wanted = {"normalize", "slerp", "lerp", "evaluate_ppl"}
+    fns = [n for n in tree.body
+           if isinstance(n, ast.FunctionDef) and n.name in wanted]
+    assert {f.name for f in fns} == wanted
+    mod = ast.Module(body=[_LiteralRewrite().visit(f) for f in fns],
+                     type_ignores=[])
+    ast.fix_missing_locations(mod)
+    exec(compile(mod, REF_EVALUATE_QUERY, "exec"), namespace)
+    return namespace["evaluate_ppl"]
+
+
+def _load_reference_sample_module():
+    spec = importlib.util.spec_from_file_location("ref_sample", REF_SAMPLE)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 @pytest.fixture(scope="module")
@@ -82,129 +129,89 @@ def lpips_pair(ref_gen):
     return percept, params
 
 
-def _ref_slerp(a, b, t):
-    """evaluate_query.py:27-39 verbatim."""
-    def normalize(x):
-        return x / torch.sqrt(x.pow(2).sum(-1, keepdim=True))
-    a = normalize(a)
-    b = normalize(b)
-    d = (a * b).sum(-1, keepdim=True)
-    p = t * torch.acos(d)
-    c = normalize(b - d * a)
-    return normalize(a * torch.cos(p) + c * torch.sin(p))
+def _run_lifted_reference(ref_gen, percept, space, eval_plus, crop,
+                          use_slerp, seed):
+    """Execute the reference's evaluate_ppl, recording drawn latents."""
+    sample_mod = _load_reference_sample_module()
+    recorded = []
 
+    def rec_noise(n, args, device, method="multi", **kw):
+        out = sample_mod.prepare_noise_new(n, args, device, method=method,
+                                           **kw)
+        recorded.append(("z", out.detach().clone()))
+        return out
 
-@torch.no_grad()
-def _ref_ppl_batch(generator, percept, inputs_z, inputs_p, lerp_t, *,
-                   space, eval_plus, crop, use_slerp, eps=EPS):
-    """One batch of the reference assembly, transcribed from
-    evaluate_query.py:151-242 (device + sampling injected)."""
-    if eval_plus:
-        inputs_z, inputs_p = generator(inputs_z, inputs_p,
-                                       return_mapped_codes=True)
+    def rec_param(n, args, device, method="batch_same", **kw):
+        out = sample_mod.prepare_param(n, args, device, method=method, **kw)
+        recorded.append(("p", out.detach().clone()))
+        return out
 
-    def lerp(a, b, t):
-        return a + (b - a) * t
-
-    interp = _ref_slerp if use_slerp else lerp
-
-    def interp_pairs(x):
-        t0, t1 = x[::2], x[1::2]
-        e0 = interp(t0, t1, lerp_t)
-        e1 = interp(t0, t1, lerp_t + eps)
-        return torch.stack([e0, e1], 1).view(*x.shape)
-
-    lerped_z = interp_pairs(inputs_z) if space in ("all", "z") \
-        else inputs_z
-    lerped_p = interp_pairs(inputs_p) if space in ("all", "p") \
-        else inputs_p
-
-    if not eval_plus:
-        image, _, _ = generator(lerped_z, lerped_p)
-    else:
-        image, _, _ = generator(lerped_z, lerped_p,
-                                use_style_mapping=False,
-                                use_spatial_mapping=False)
-
-    if crop:
-        c = image.shape[2] // 8
-        image = image[:, :, c * 3: c * 7, c * 2: c * 6]
-
-    factor = image.shape[2] // 256
-    if factor > 1:
-        image = torch.nn.functional.interpolate(
-            image, size=(256, 256), mode="bilinear", align_corners=False)
-
-    dist = percept(image[::2], image[1::2]).view(
-        image.shape[0] // 2) / (eps ** 2)
-    return dist.cpu().numpy()
-
-
-def _draw_latents(seed, space):
-    """[2B, D, T] torch latents per batch, honouring the reference's
-    batch-fixed sampling for the held space (prepare_noise_new
-    'query_same' / prepare_param 'spatial_same', utils/sample.py)."""
-    g = torch.Generator().manual_seed(seed)
-    if space == "p":    # fix z across the batch
-        z = torch.randn(CFG.style_dim, CFG.n_tokens,
-                        generator=g).repeat(2 * BATCH, 1, 1)
-    else:
-        z = torch.randn(2 * BATCH, CFG.style_dim, CFG.n_tokens,
-                        generator=g)
-    if space == "z":    # fix p
-        p = torch.randn(CFG.param_dim, CFG.n_tokens,
-                        generator=g).repeat(2 * BATCH, 1, 1)
-    else:
-        p = torch.randn(2 * BATCH, CFG.param_dim, CFG.n_tokens,
-                        generator=g)
-    return z, p
+    ns = {
+        "torch": torch,
+        "np": np,
+        "F": torch.nn.functional,
+        "tqdm": lambda x: x,
+        "lpips": types.SimpleNamespace(PerceptualLoss=lambda **kw: percept),
+        "prepare_noise_new": rec_noise,
+        "prepare_param": rec_param,
+    }
+    evaluate_ppl = _lift_reference_evaluate_ppl(ns)
+    args = types.SimpleNamespace(latent=CFG.style_dim,
+                                 para_num=CFG.n_tokens)
+    torch.manual_seed(seed)
+    ppl = evaluate_ppl(args, ref_gen, space=space, eval_plus=eval_plus,
+                       crop=crop, use_slerp=use_slerp)
+    # pair up the per-batch (z, p) draws, in call order
+    assert len(recorded) % 2 == 0
+    batches = []
+    for i in range(0, len(recorded), 2):
+        (kz, z), (kp, p) = recorded[i], recorded[i + 1]
+        assert (kz, kp) == ("z", "p")
+        batches.append((z, p))
+    return float(ppl), batches
 
 
 @pytest.mark.parametrize(
-    "space,eval_plus,crop,use_slerp,sampling",
-    [("all", True, False, False, "end"),   # the headline setting
-     ("z", False, True, True, "full"),     # crop + slerp + random t
-     ("p", True, False, False, "end")])
-def test_ppl_batch_oracle(ref_gen, gen_params, lpips_pair,
-                          space, eval_plus, crop, use_slerp, sampling):
+    "space,eval_plus,crop,use_slerp",
+    [("all", True, False, False),    # the headline setting (:361-364)
+     ("z", False, True, True),       # crop + slerp, P batch-fixed
+     ("p", True, False, False)])
+def test_ppl_protocol_matches_lifted_reference(ref_gen, gen_params,
+                                               lpips_pair, space,
+                                               eval_plus, crop, use_slerp):
     percept, lpips_params = lpips_pair
-    ours = make_ppl_distance_fn(CFG, space=space, eval_plus=eval_plus,
-                                crop=crop, eps=EPS, use_slerp=use_slerp)
-    ours = jax.jit(ours)
+    want_ppl, batches = _run_lifted_reference(
+        ref_gen, percept, space, eval_plus, crop, use_slerp,
+        seed=hash((space, eval_plus)) % (2 ** 31))
+    # the lifted run covers full batches AND the residual batch
+    assert sorted({z.shape[0] for z, _ in batches}) == [
+        2 * (N_SAMPLE - (N_SAMPLE // BATCH) * BATCH), 2 * BATCH]
 
-    tg = torch.Generator().manual_seed(99)
-    want_all, got_all = [], []
-    for b in range(N_BATCHES):
-        z_t, p_t = _draw_latents(1000 + b, space)
-        t = (float(torch.rand(1, generator=tg)) if sampling == "full"
-             else 0.0)
-        want = _ref_ppl_batch(ref_gen, percept, z_t, p_t,
-                              torch.tensor([t]), space=space,
-                              eval_plus=eval_plus, crop=crop,
-                              use_slerp=use_slerp)
-        # our layout: [2B, T, D]
+    ours = jax.jit(make_ppl_distance_fn(
+        CFG, space=space, eval_plus=eval_plus, crop=crop, eps=EPS,
+        use_slerp=use_slerp))
+
+    got_d = []
+    for z_t, p_t in batches:
+        # reference layout [2B, D, T] -> ours [2B, T, D]
         z_j = jnp.asarray(z_t.numpy().transpose(0, 2, 1))
         p_j = jnp.asarray(p_t.numpy().transpose(0, 2, 1))
-        got = np.asarray(ours(gen_params, lpips_params, z_j, p_j,
-                              jnp.float32(t)))
-        assert got.shape == want.shape == (BATCH,)
-        # distances are finite differences at eps=1e-4 in float32, so
-        # the ~2e-4 model-parity noise is amplified a few % on
-        # individual elements; a protocol drift (pairing, crop, eps
-        # scaling, slerp axis) shifts them by orders of magnitude
-        np.testing.assert_allclose(got, want, rtol=5e-2, atol=1e-8)
-        want_all.append(want)
-        got_all.append(got)
+        got_d.append(np.asarray(
+            ours(gen_params, lpips_params, z_j, p_j, jnp.float32(0.0))))
+    got_d = np.concatenate(got_d)
+    assert got_d.shape == (N_SAMPLE,)
 
-    # the full protocol scalar: percentile filter + mean
-    want_mean = _ref_percentile_mean(np.concatenate(want_all))
-    got_mean = percentile_filter_mean(np.concatenate(got_all))
-    np.testing.assert_allclose(got_mean, want_mean, rtol=2e-2)
+    # distances are finite differences at eps=1e-4 in float32, so the
+    # ~2e-4 model-parity noise amplifies a few % per element; a protocol
+    # drift (pairing, crop, eps scaling, slerp axis, residual batch)
+    # shifts them by orders of magnitude
+    got_ppl = percentile_filter_mean(got_d)
+    np.testing.assert_allclose(got_ppl, want_ppl, rtol=2e-2)
 
 
 def _ref_percentile_mean(distances):
-    """evaluate_query.py:244-249 verbatim (numpy's deprecated
-    `interpolation=` kwarg spelled as `method=`)."""
+    """evaluate_query.py:244-249 verbatim (numpy still accepts the
+    deprecated `interpolation=` kwarg; spelled `method=` here)."""
     lo = np.percentile(distances, 1, method="lower")
     hi = np.percentile(distances, 99, method="higher")
     filtered_dist = np.extract(
@@ -215,9 +222,11 @@ def _ref_percentile_mean(distances):
 def test_percentile_filter_matches_reference_lines():
     """Pin the filter itself (lower/higher interpolation + inclusive
     bounds) on a spread of sizes, including ones where 'lower'/'higher'
-    differ from the default linear interpolation."""
+    differ from the default linear interpolation — at the lifted run's
+    n=26 the filter is a no-op (lo=min, hi=max), so this covers the
+    protocol-scale regime the lifted oracle can't afford."""
     rng = np.random.RandomState(0)
-    for n in (24, 100, 1000):
+    for n in (24, 100, 1000, 10_000):
         d = rng.lognormal(size=n).astype(np.float64)
         np.testing.assert_allclose(percentile_filter_mean(d),
                                    _ref_percentile_mean(d), rtol=0)
