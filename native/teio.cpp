@@ -397,6 +397,10 @@ static void loader_worker(Loader* L, int w) {
     std::vector<uint8_t> frame(L->frame_bytes);
     long retry_idx = -1;  // corrupt-record random retry, see below
     for (int b = 0; b < L->batch; ++b) {
+      // checked INSIDE the fill loop: if every record is corrupt the
+      // retry path spins here forever and the destructor's join would
+      // hang the process
+      if (L->stop) return;
       long idx;
       if (retry_idx >= 0) {
         idx = retry_idx;
@@ -491,7 +495,14 @@ void* teio_loader_create(const char* lmdb_path, int resolution, int batch,
   L->host_count = host_count;
   L->n_workers = n_workers > 0 ? n_workers : 1;
   L->n = lmdb_length(env);
-  if (L->n <= 0) { delete L; return nullptr; }
+  // a corrupt 'length' record (or corrupt meta entry count) must fail
+  // creation, not size the per-worker index vectors: no well-formed
+  // file can hold more records than half its bytes (each leaf node
+  // costs >= a 2-byte pointer slot alone)
+  if (L->n <= 0 || uint64_t(L->n) > env->size / 2) {
+    delete L;
+    return nullptr;
+  }
   // ranks with a non-empty sub-shard form a prefix [0, k): worker w's
   // first index is host_index + host_count*w, so k = ceil((n - host_index)
   // / host_count) capped at n_workers.  Only these join the admission
