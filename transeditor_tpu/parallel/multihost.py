@@ -30,10 +30,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def initialize(coordinator: Optional[str] = None,
                num_processes: Optional[int] = None,
-               process_id: Optional[int] = None) -> bool:
+               process_id: Optional[int] = None,
+               warmup: bool = True) -> bool:
     """``jax.distributed.initialize`` from args or env; returns True if a
     multi-process runtime was initialized (the reference's WORLD_SIZE>1
-    trigger, train_spatial_query.py:422-428)."""
+    trigger, train_spatial_query.py:422-428).
+
+    ``warmup=True`` then runs :func:`warmup_collectives` — see there for
+    why the first cross-process collective must NOT be the first big
+    compiled program.
+    """
     coordinator = coordinator or os.environ.get("COORDINATOR_ADDRESS")
     num_processes = num_processes or _env_int("NUM_PROCESSES")
     process_id = process_id if process_id is not None else _env_int(
@@ -43,7 +49,43 @@ def initialize(coordinator: Optional[str] = None,
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)
+    if warmup:
+        warmup_collectives()
     return True
+
+
+def warmup_collectives() -> None:
+    """Run one tiny all-reduce over every global device, and verify it.
+
+    Two jobs:
+      * **Rendezvous de-skew.**  The backend's cross-process collective
+        context (Gloo on CPU, the ICI launch groups on TPU) is created
+        lazily inside the FIRST executed collective, with a fixed
+        connection deadline (Gloo's KV-store lookups give up after
+        30 s).  If that first collective sits inside the first big
+        compiled program, per-host compile-time skew counts against
+        the deadline — observed as ``Gloo context initialization
+        failed: DEADLINE_EXCEEDED: GetKeyValue() timed out`` on an
+        oversubscribed host whose peer was still compiling the train
+        step.  Running a trivial psum here, while all hosts are still
+        in lockstep from ``jax.distributed.initialize``'s own barrier,
+        creates (and caches) the context when the skew is milliseconds.
+      * **Fail-fast connectivity probe.**  A dead ICI link / mis-wired
+        coordinator surfaces now, as a checked error with a clear
+        message, instead of minutes later under the first train step.
+    """
+    devs = np.asarray(jax.devices()).reshape(-1)
+    if devs.size <= 1:
+        return
+    mesh = Mesh(devs, ("all",))
+    local = np.ones((len(jax.local_devices()),), np.float32)
+    x = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("all")), local)
+    total = float(np.asarray(jax.jit(lambda a: a.sum())(x)))
+    if abs(total - devs.size) > 0.5:
+        raise RuntimeError(
+            f"collective warm-up all-reduce returned {total}, expected "
+            f"{devs.size} — cross-process device fabric is unhealthy")
 
 
 def _env_int(name: str) -> Optional[int]:
