@@ -1,0 +1,107 @@
+"""Learn-evidence gates (VERDICT r2 #1).
+
+The reference's loop demonstrably converges (it produced ``790000.pt``
+over 800k iters, ``train_spatial_query.py:125-371``); one-step parity
+oracles cannot catch slow divergence from optimizer-state threading,
+EMA wiring, or reg-cadence interactions.  Two gates:
+
+* ``test_tiny_gan_reduces_color_moment`` — trains a tiny model from
+  scratch ON THIS BOX for a few hundred full-cadence steps against an
+  easy color distribution and asserts the generated pixel moments move
+  toward the data.  Slow (compiles 4 step variants) but hermetic.
+* ``test_committed_convergence_evidence`` — pins the committed
+  artifacts of the 4000-step v5e convergence run
+  (``scripts/convergence_run.py`` -> ``docs/convergence/``): FID trend
+  down, encoder val-loss descent.
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from transeditor_tpu.config import ModelConfig, TrainConfig
+
+DOCS = os.path.join(os.path.dirname(__file__), "..", "docs",
+                    "convergence")
+
+
+def _color_moment_distance(a, b):
+    fa = a.reshape(-1, 3).astype(np.float64)
+    fb = b.reshape(-1, 3).astype(np.float64)
+    return float(np.linalg.norm(fa.mean(0) - fb.mean(0))
+                 + np.linalg.norm(np.cov(fa.T) - np.cov(fb.T)))
+
+
+@pytest.mark.slow
+def test_tiny_gan_reduces_color_moment(tmp_path):
+    import jax.numpy as jnp
+
+    from transeditor_tpu.models import Generator
+    from transeditor_tpu.train.gan import init_state, make_train_step
+    from transeditor_tpu.utils.sampling import sample_zp
+
+    cfg = ModelConfig(size=16, style_dim=32, param_dim=32,
+                      max_channels=32, n_trans=1)
+    tcfg = TrainConfig(batch_size=4)
+    gen = Generator(cfg)
+
+    # easy target: smooth two-tone vertical gradients in a narrow hue
+    # band (well inside what a 16px synthesis stack can model)
+    rng = np.random.RandomState(0)
+    yy = np.linspace(0, 1, cfg.size, dtype=np.float32)[None, :, None,
+                                                       None]
+    top = np.array([0.8, 0.3, 0.2], np.float32) \
+        + rng.randn(256, 1, 1, 3).astype(np.float32) * 0.05
+    bot = np.array([0.1, 0.2, 0.6], np.float32) \
+        + rng.randn(256, 1, 1, 3).astype(np.float32) * 0.05
+    data = np.clip(top * (1 - yy) + bot * yy, 0, 1) * 2.0 - 1.0
+
+    step_fn = make_train_step(cfg, tcfg)
+    state = init_state(cfg, tcfg, jax.random.PRNGKey(0))
+
+    @jax.jit
+    def sample64(params, key):
+        z, p = sample_zp(key, 64, cfg.n_tokens, cfg.style_dim)
+        return gen.apply({"params": params}, z, p).image
+
+    def moment_dist(state, tag):
+        img = np.asarray(sample64(state.g_ema, jax.random.PRNGKey(9)),
+                         np.float32)
+        return _color_moment_distance(img, data)
+
+    d0 = moment_dist(state, "init")
+    key = jax.random.PRNGKey(1)
+    for i in range(400):
+        key, k = jax.random.split(key)
+        real = jnp.asarray(data[rng.randint(0, len(data),
+                                            tcfg.batch_size)])
+        state, _ = step_fn(state, real, k,
+                           do_d_reg=(i % tcfg.d_reg_every == 0),
+                           do_g_reg=(i % tcfg.g_reg_every == 0),
+                           do_spatial_reg=False)
+    dN = moment_dist(state, "end")
+    # loose on purpose: a tiny GAN is noisy, but 400 steps against this
+    # target reliably at least halves the moment distance; divergence /
+    # dead EMA / optimizer mis-threading all FAIL this
+    assert np.isfinite(dN)
+    assert dN < 0.8 * d0, (d0, dN)
+
+
+def test_committed_convergence_evidence():
+    trend_p = os.path.join(DOCS, "trend.json")
+    enc_p = os.path.join(DOCS, "encoder_curve.json")
+    if not (os.path.exists(trend_p) and os.path.exists(enc_p)):
+        pytest.skip("convergence artifacts not yet committed")
+    trend = json.load(open(trend_p))
+    assert trend[0]["tag"] == "step0" and len(trend) >= 3
+    f0, fN = trend[0]["fid"], trend[-1]["fid"]
+    c0, cN = trend[0]["color_moment"], trend[-1]["color_moment"]
+    assert fN < 0.7 * f0, (f0, fN)
+    assert cN < 0.7 * c0, (c0, cN)
+    curve = json.load(open(enc_p))
+    assert curve[0]["step"] == 0 and len(curve) >= 4
+    v0, vN = curve[0]["val_loss"], curve[-1]["val_loss"]
+    assert vN < 0.9 * v0, (v0, vN)
