@@ -31,9 +31,18 @@ from transeditor_tpu.utils.sampling import sample_tokens
 from transeditor_tpu.zoo.lpips import LPIPS
 
 
-def load_real_stats(pkl_path: str):
-    """Read cached real-data stats ('mean'/'cov' or 'mu'/'sigma')."""
-    with open(pkl_path, "rb") as f:
+def load_real_stats(path: str):
+    """Read cached real-data stats ('mean'/'cov' or 'mu'/'sigma') from
+    the reference's pickle format (inception_ffhq.pkl,
+    fid_query.py:23-37) or an ``.npz`` with the same keys."""
+    try:
+        with np.load(path) as z:
+            mean = z["mean"] if "mean" in z.files else z["mu"]
+            cov = z["cov"] if "cov" in z.files else z["sigma"]
+            return np.asarray(mean), np.asarray(cov)
+    except Exception:
+        pass
+    with open(path, "rb") as f:
         stats = pickle.load(f)
     mean = stats.get("mean", stats.get("mu"))
     cov = stats.get("cov", stats.get("sigma"))
@@ -100,8 +109,13 @@ def real_stats_from_source(source, inception_params, resolution: int,
     inception = InceptionV3Features()
     inception_params = jax.tree.map(jnp.asarray, inception_params)
 
+    # ship uint8 and normalize ON DEVICE: 4x less host->device traffic,
+    # and at the 50k protocol the tunnel client was measured retaining
+    # upload buffers (~50 MB/batch as float32 -> tens of GB of host RSS
+    # over a protocol pass; scripts/protocol_scale.py)
     @jax.jit
-    def extract(ip, img):
+    def extract(ip, img_u8):
+        img = img_u8.astype(jnp.float32) / 127.5 - 1.0
         return inception.apply(ip, img)
 
     n = min(n_samples, len(source))
@@ -109,8 +123,8 @@ def real_stats_from_source(source, inception_params, resolution: int,
     for start in range(0, n, batch):
         imgs = np.stack([source.get(i, resolution)
                          for i in range(start, min(start + batch, n))])
-        imgs = imgs.astype(np.float32) / 127.5 - 1.0
-        fb = np.asarray(extract(inception_params, jnp.asarray(imgs)))
+        fb = np.asarray(extract(inception_params,
+                                jnp.asarray(imgs.astype(np.uint8))))
         if feats is None:
             feats = np.empty((n, fb.shape[1]), np.float32)
         feats[start:start + len(fb)] = fb
@@ -224,9 +238,11 @@ def evaluate_prdc(cfg: ModelConfig, gen_params, vgg_params, real_source,
         # calc_prdc.py:17-29) — the adaptive pool handles 8x8 -> 7x7
         return vgg.apply(vp, img)
 
+    # uint8 upload + on-device normalize (see real_stats_from_source)
     @jax.jit
-    def real_features(vp, img):
-        return vgg.apply(vp, img.astype(jnp.float32))
+    def real_features(vp, img_u8):
+        img = img_u8.astype(jnp.float32) / 127.5 - 1.0
+        return vgg.apply(vp, img)
 
     key = jax.random.PRNGKey(seed)
     n = min(n_samples, len(real_source))
@@ -242,8 +258,7 @@ def evaluate_prdc(cfg: ModelConfig, gen_params, vgg_params, real_source,
         imgs = np.stack([real_source.get(j, cfg.size)
                          for j in range(done, done + m)])
         rb = np.asarray(real_features(
-            vgg_params,
-            jnp.asarray(imgs.astype(np.float32) / 127.5 - 1.0)))
+            vgg_params, jnp.asarray(imgs.astype(np.uint8))))
         if fake is None:
             fake = np.empty((n, fb.shape[1]), np.float32)
             real = np.empty((n, rb.shape[1]), np.float32)
