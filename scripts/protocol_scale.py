@@ -167,20 +167,46 @@ def phase_real_stats(rep):
 def phase_fid(rep):
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    from transeditor_tpu.metrics.evaluator import (evaluate_fid,
-                                                   load_real_stats)
+    import transeditor_tpu.metrics.evaluator as ev
+    from transeditor_tpu.metrics.evaluator import load_real_stats
     from transeditor_tpu.metrics.inception import InceptionV3Features
 
     cfg, gen, params = make_generator()
     inception_params = InceptionV3Features().init(
         jax.random.PRNGKey(10), jnp.zeros((1, 64, 64, 3)))
     mean, cov = load_real_stats(STATS)
-    t0 = time.time()
-    fid = evaluate_fid(cfg, params, inception_params, mean, cov,
-                       n_samples=FID_SAMPLES, batch=BATCH)
+
+    # The fabricated random-init InceptionV3 has its BN folded away, so
+    # activations explode through the depth: measured feature scale
+    # ~3e10 (cov ~7e19, rank ~466/2048).  At that scale sqrtm's
+    # imaginary residue is material and frechet_distance raises the
+    # reference's own hard error (fid_query.py:53-58) — correctly.
+    # Stabilize the HARNESS (not the metric): scale features to O(1)
+    # and the cached stats consistently (FID scales by c^2; the value
+    # is meaningless with fabricated weights either way — what this
+    # phase proves is the streamed 69k pass).
+    c = float(np.sqrt(np.mean(mean ** 2) + np.mean(np.diag(cov))))
+
+    class _ScaledInception:
+        def __init__(self):
+            self._net = InceptionV3Features()
+
+        def apply(self, ip, img):
+            return self._net.apply(ip, img) / c
+
+    orig = ev.InceptionV3Features
+    ev.InceptionV3Features = _ScaledInception
+    try:
+        t0 = time.time()
+        fid = ev.evaluate_fid(cfg, params, inception_params,
+                              mean / c, cov / (c * c),
+                              n_samples=FID_SAMPLES, batch=BATCH)
+    finally:
+        ev.InceptionV3Features = orig
     rep.add("fid", time.time() - t0, samples=FID_SAMPLES,
-            fid=round(float(fid), 4))
+            fid=round(float(fid), 6), feature_scale=c)
 
 
 def phase_prdc(rep):
