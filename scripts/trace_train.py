@@ -46,7 +46,7 @@ def build(batch):
     from transeditor_tpu.train.gan import init_state, make_train_step
 
     cfg = ModelConfig(size=256, dtype="bfloat16")
-    tcfg = TrainConfig(batch=batch)
+    tcfg = TrainConfig(batch_size=batch)
     state = jax.jit(lambda k: init_state(cfg, tcfg, k))(
         jax.random.PRNGKey(0))
     step = make_train_step(cfg, tcfg, donate=False)
@@ -109,11 +109,25 @@ def analyze(logdir, n_traced_steps, ms_per_step):
         return {"error": f"no trace.json.gz under {logdir}"}
     with gzip.open(paths[0]) as f:
         trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    # resolve the device plane's thread ids: "XLA Modules" (one event
+    # per executed program) vs "XLA Ops" (one event per fusion) — the
+    # planes overlap, so they must not be summed together
+    tids = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tids[(e["pid"], e["tid"])] = e["args"].get("name")
+    module_ms = sum(
+        int(e["args"]["device_duration_ps"]) / 1e9
+        for e in events
+        if tids.get((e.get("pid"), e.get("tid"))) == "XLA Modules"
+        and "device_duration_ps" in (e.get("args") or {}))
     per_op = {}
     tot_time = tot_flops = tot_bytes = 0.0
-    for e in trace.get("traceEvents", []):
+    for e in events:
         a = e.get("args") or {}
-        if "device_duration_ps" not in a:
+        if ("device_duration_ps" not in a
+                or tids.get((e.get("pid"), e.get("tid"))) != "XLA Ops"):
             continue
         dur = int(a["device_duration_ps"]) / 1e12      # seconds
         fl = float(a.get("model_flops") or 0)
@@ -139,17 +153,23 @@ def analyze(logdir, n_traced_steps, ms_per_step):
             "tflops_s": round(r["fl"] / r["t"] / 1e12, 1) if r["t"] else 0,
             "gb_s": round(r["by"] / r["t"] / 1e9, 1) if r["t"] else 0,
         })
-    dev_ms = tot_time * 1e3 / n_traced_steps
+    # MFU / bandwidth against the MODULE device time (what one step
+    # actually occupies the chip for); per-op "ops time" can exceed it
+    # when async copies overlap compute
+    dev_s = module_ms / 1e3 / n_traced_steps
+    flops = tot_flops / n_traced_steps
+    byts = tot_bytes / n_traced_steps
     return {
         "trace": paths[0],
-        "device_ms_per_step": round(dev_ms, 1),
+        "device_ms_per_step": round(dev_s * 1e3, 1),
+        "ops_busy_ms_per_step": round(tot_time * 1e3 / n_traced_steps, 1),
         "wall_ms_per_step": round(ms_per_step * 1e3, 1),
-        "total_tflops_per_step": round(tot_flops / 1e12 / n_traced_steps, 2),
-        "total_gb_per_step": round(tot_bytes / 1e9 / n_traced_steps, 1),
+        "total_tflops_per_step": round(flops / 1e12, 2),
+        "total_gb_per_step": round(byts / 1e9, 1),
         "mfu_vs_bf16_peak": round(
-            tot_flops / tot_time / V5E_BF16_PEAK, 3) if tot_time else 0,
+            flops / dev_s / V5E_BF16_PEAK, 3) if dev_s else 0,
         "avg_hbm_frac": round(
-            tot_bytes / tot_time / V5E_HBM_PEAK, 3) if tot_time else 0,
+            byts / dev_s / V5E_HBM_PEAK, 3) if dev_s else 0,
         "top_ops": rows,
     }
 
