@@ -58,6 +58,9 @@ def test_tiny_gan_reduces_color_moment(tmp_path):
     bot = np.array([0.1, 0.2, 0.6], np.float32) \
         + rng.randn(256, 1, 1, 3).astype(np.float32) * 0.05
     data = np.clip(top * (1 - yy) + bot * yy, 0, 1) * 2.0 - 1.0
+    # broadcast the [N, H, 1, 3] gradient across the width axis
+    data = np.ascontiguousarray(
+        np.broadcast_to(data, (len(data), cfg.size, cfg.size, 3)))
 
     step_fn = make_train_step(cfg, tcfg)
     state = init_state(cfg, tcfg, jax.random.PRNGKey(0))
