@@ -21,7 +21,9 @@ Methodology notes for the axon-tunnelled TPU:
     batches, no host round-trip per batch).
 """
 
+import contextlib
 import json
+import signal
 import time
 
 import jax
@@ -102,11 +104,85 @@ def main():
 
     imgs_per_sec_per_chip = (batch * ITERS_PER_CALL / best_dt
                              / max(1, len(devices) if mesh else 1))
+
+    # context extras, each hard-bounded by an alarm so a tunnel stall
+    # can never cost the primary line; failures silently skip a field
+    extras = {}
+
+    @contextlib.contextmanager
+    def bounded(seconds):
+        def _raise(signum, frame):
+            raise TimeoutError
+        old = signal.signal(signal.SIGALRM, _raise)
+        signal.alarm(seconds)
+        try:
+            yield
+        except Exception:
+            pass
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
+    # MFU of the sampling program, from XLA's own cost model: the
+    # honest "fraction of this chip" companion to the absolute img/s
+    # (vs_baseline compares against a 5,000 img/s north star that is
+    # 229% of v5e bf16 peak for this 90-GFLOP/image model — see
+    # BASELINE.md; MFU is the signal that can actually reach 1.0)
+    with bounded(120):
+        cost = sample_many.lower(params, key).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        # XLA's cost model counts a lax.scan body ONCE (trip count is
+        # opaque at HLO level) — scale to the executed iterations
+        # (validated against the captured device trace: 138 TFLOP/s
+        # effective = 70% MFU, docs/perf/TRACE_ANALYSIS.md)
+        flops = float(cost["flops"]) * ITERS_PER_CALL
+        extras["sampling_mfu_bf16"] = round(
+            flops / best_dt / 197e12, 4)
+
+    # training-step throughput (the production 800k-iteration recipe,
+    # reference train_spatial_query.py:125-371), plain + full-reg
+    with bounded(420):
+        from transeditor_tpu.config import TrainConfig
+        from transeditor_tpu.train.gan import init_state, make_train_step
+        tcfg = TrainConfig(batch_size=16)
+        t_state = jax.jit(lambda k: init_state(cfg, tcfg, k))(
+            jax.random.PRNGKey(7))
+        t_step = make_train_step(cfg, tcfg)
+        t_real = jnp.asarray(np.random.RandomState(0).randint(
+            0, 256, (16, cfg.size, cfg.size, 3), np.uint8))
+
+        @jax.jit
+        def t_sum(m):
+            return sum(jnp.sum(v) for v in jax.tree.leaves(m))
+
+        for name, kw in (("plain", {}),
+                         ("fullreg", dict(do_d_reg=True, do_g_reg=True))):
+            s, m = t_step(t_state, t_real, jax.random.PRNGKey(8), **kw)
+            float(np.asarray(t_sum(m)))      # compile + settle
+            best = float("inf")
+            for rep in range(3):
+                t0 = time.perf_counter()
+                s = t_state
+                for i in range(5):
+                    s, m = t_step(s, t_real,
+                                  jax.random.fold_in(jax.random.PRNGKey(9),
+                                                     rep * 5 + i), **kw)
+                float(np.asarray(t_sum(m)))
+                best = min(best, (time.perf_counter() - t0) / 5)
+            extras[f"train_{name}_ms"] = round(best * 1e3, 1)
+        if "train_plain_ms" in extras and "train_fullreg_ms" in extras:
+            # lazy-reg cadence: d-reg every 16, g-reg every 4 → the
+            # sustained mix (reference :381-391)
+            p, f = extras["train_plain_ms"], extras["train_fullreg_ms"]
+            mix = p + (f - p) * (1 / 4 + 1 / 16) / 2  # avg extra-reg share
+            extras["train_img_s_sustained_est"] = round(16 / (mix / 1e3), 1)
+
     print(json.dumps({
         "metric": "sampling_throughput_256px",
         "value": round(imgs_per_sec_per_chip, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(imgs_per_sec_per_chip / TARGET, 4),
+        **extras,
     }))
 
 
