@@ -39,10 +39,13 @@ def test_protocol_scale_report_complete():
     assert rows["prdc"]["samples"] == 50_000
     assert rows["ppl_all"]["samples"] == 10_000
     assert rows["lpips_diversity"]["batches"] == 1000
-    # the uint8-upload fix held: the post-fix PRDC pass (50k real
-    # uploads + two 820 MB stores) stayed far below the pre-fix
-    # real_stats blowup
-    assert rows["prdc"]["peak_rss_mb"] < rows["real_stats"]["peak_rss_mb"]
+    # the uint8-upload fix held: the PRDC pass (50k real uploads + two
+    # 820 MB feature stores) stays bounded in absolute terms.  (An
+    # absolute bound, not a cross-phase comparison: VmHWM is monotonic
+    # within a process, so if the report is ever regenerated with
+    # real_stats and prdc in one process the later phase's high-water
+    # mark necessarily >= the earlier one's.)
+    assert rows["prdc"]["peak_rss_mb"] < 25 * 1024
 
 
 def test_train_trace_analysis_sane():
@@ -60,6 +63,47 @@ def test_train_trace_analysis_sane():
     # full-reg (two extra grad-of-grad passes) must cost measurably more
     assert (a["fullreg"]["total_tflops_per_step"]
             > 1.5 * a["plain"]["total_tflops_per_step"])
+
+
+def test_bench_numbers_consistent_with_trace_evidence():
+    """VERDICT r3 #6: the driver-visible BENCH_r*.json line must stay
+    within tolerance of the committed trace-derived evidence, so the
+    headline numbers can't silently drift from the artifacts that back
+    them.  Reads the LATEST committed BENCH_r*.json."""
+    import glob
+    import re
+    root = os.path.join(os.path.dirname(__file__), "..")
+    benches = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    if not benches:
+        pytest.skip("no BENCH_r*.json committed")
+    with open(benches[-1]) as f:
+        bench = json.load(f)
+    parsed = bench.get("parsed") or {}
+    if not parsed:
+        # driver recorded a failed run — the rc gate is the driver's
+        m = re.search(r"\{.*\}", bench.get("tail", ""), re.S)
+        if not m:
+            pytest.skip("latest BENCH has no parsed payload")
+        parsed = json.loads(m.group(0))
+    trace = _load("trace_r3_train_analysis.json")
+    # train-step timings: bench (same-process best-of windows) vs the
+    # trace's wall_ms_per_step — the shared chip has real variance, so
+    # 30% tolerance, but an order-of-magnitude drift must fail
+    for name, tag in (("train_plain_ms", "plain"),
+                      ("train_fullreg_ms", "fullreg")):
+        if name not in parsed:
+            continue  # bounded() skipped the field that round
+        ref = trace[tag]["wall_ms_per_step"]
+        assert abs(parsed[name] - ref) / ref < 0.30, (name, parsed[name], ref)
+    # sampling MFU: the trace treatment measured ~0.70 of bf16 peak
+    # (docs/perf/TRACE_ANALYSIS.md: 138 TFLOP/s effective on 197 peak)
+    if "sampling_mfu_bf16" in parsed:
+        assert 0.55 <= parsed["sampling_mfu_bf16"] <= 0.85, parsed
+    # the headline throughput itself: the measured single-chip bf16
+    # ceiling is ~1540 img/s (README journal); anything wildly off in
+    # either direction means the metric changed meaning
+    if parsed.get("unit") == "img/s/chip":
+        assert 1000 < parsed["value"] < 2500, parsed
 
 
 def test_committed_traces_parse():

@@ -35,13 +35,20 @@ def load_real_stats(path: str):
     """Read cached real-data stats ('mean'/'cov' or 'mu'/'sigma') from
     the reference's pickle format (inception_ffhq.pkl,
     fid_query.py:23-37) or an ``.npz`` with the same keys."""
+    import zipfile
     try:
-        with np.load(path) as z:
+        z = np.load(path)
+    except (ValueError, OSError, TypeError, zipfile.BadZipFile,
+            pickle.UnpicklingError):
+        z = None  # not npz/npy — fall through to the pickle format
+    if z is not None:
+        with z:
+            # a successfully-opened npz missing both key spellings is a
+            # REAL error in the caller's file — let KeyError propagate
+            # rather than masking it as a pickle failure downstream
             mean = z["mean"] if "mean" in z.files else z["mu"]
             cov = z["cov"] if "cov" in z.files else z["sigma"]
             return np.asarray(mean), np.asarray(cov)
-    except Exception:
-        pass
     with open(path, "rb") as f:
         stats = pickle.load(f)
     mean = stats.get("mean", stats.get("mu"))

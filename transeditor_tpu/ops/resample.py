@@ -12,21 +12,27 @@ wrapper ``utils/op/upfirdn2d.py:143-148``):
 
   out = (in * up + pad0 + pad1 - kernel) // down + 1       (each dim)
 
-TPU-native design: the model's blur kernels are separable
-(outer(k1, k1) by construction, model_spatial_query.py:84-92), so the
-hot path decomposes into TWO 1-D passes of shifted multiply-adds —
-pure VPU elementwise chains XLA fuses into neighbouring ops.  This
-beats both a hand-written kernel and the "one conv_general_dilated"
-formulation: a ``feature_group_count=C`` depthwise conv lowers
-catastrophically on TPU (measured ~6x on whole-generator time).
-Autodiff (including the 2nd order needed by R1 / path-length
-regularisation) is native — no hand-written double-backward graph
-(the reference needs ``UpFirDn2dBackward`` with its swapped-pad trick,
+TPU-native design — MEASURED, not assumed (whole-model 256px sampling
+on the v5e, see the README perf journal and the default note at the
+``upfirdn2d`` dispatcher below): the ``feature_group_count=C``
+depthwise ``conv_general_dilated`` lowering is the WINNER and the
+default (1537 img/s), beating the separable two-pass shifted
+multiply-add lowering (1189 img/s) and our hand-written Pallas kernel
+(883 img/s; ``ops/pallas_blur.py``).  Modern XLA:TPU tiles grouped
+convs onto the MXU and fuses the surrounding elementwise ops; an
+earlier build of this file claimed the opposite ("depthwise lowers
+catastrophically ~6x") based on a round-1 microbenchmark that turned
+out not to predict whole-model time — do not regress the default
+without re-measuring whole-model throughput same-process on the TPU.
+All four lowerings (dilated-conv / separable / 2-pass / banded-matmul)
+are kept for testing and as shape-dependent fallbacks.  Autodiff
+(including the 2nd order needed by R1 / path-length regularisation) is
+native — no hand-written double-backward graph (the reference needs
+``UpFirDn2dBackward`` with its swapped-pad trick,
 ``utils/op/upfirdn2d.py:17-140``).
 
-Layout: images are NHWC (channel = TPU lane dim).  A 2-D (possibly
-non-separable) kernel falls back to the depthwise-conv path, which also
-serves as the test oracle for the fast path.
+Layout: images are NHWC (channel = TPU lane dim).  A 2-D
+(non-separable) kernel always takes the depthwise-conv path.
 """
 
 from __future__ import annotations
@@ -74,12 +80,13 @@ def upfirdn2d(
     Returns:
       [N, H', W', C] with H' = (H*up + pad0 + pad1 - kh)//down + 1.
 
-    A 1-D kernel takes the separable fast path: per-axis shift-multiply-
-    add chains on the VPU.  The depthwise-conv lowering of a
-    ``feature_group_count=C`` conv is catastrophically slow on TPU
-    (measured 6x whole-model cost), so the elementwise form is the
-    TPU-native implementation; the 2-D-kernel conv path remains for
-    non-separable filters and as the oracle in tests.
+    A 2-D kernel (the default: ``make_resample_kernel`` returns the
+    outer product) takes the ``feature_group_count=C`` depthwise-conv
+    lowering — the measured whole-model winner on TPU (1537 vs 1189
+    img/s over the separable shift-add form; see the module docstring
+    and README perf journal).  A 1-D tap vector selects the separable
+    shift-multiply-add path explicitly (kept for A/B probes and as an
+    independent implementation the tests cross-check).
     """
     ndim = kernel.ndim if hasattr(kernel, "ndim") else \
         np.asarray(kernel).ndim
@@ -150,9 +157,24 @@ def _upfirdn2d_conv(x, kernel, up, down, pad):
     extra_x = up_x - 1
 
     # True convolution == correlation with the spatially flipped kernel.
-    k = jnp.flip(kernel, (0, 1)).astype(jnp.float32)
     # Depthwise: one shared filter per channel.  HWIO with I=1, O=C.
-    k = jnp.tile(k[:, :, None, None], (1, 1, 1, c)).astype(x.dtype)
+    #
+    # Build the flipped+tiled kernel in NUMPY whenever the taps are
+    # concrete (they always are on the model paths — static blur_kernel
+    # tuples) so it embeds as ONE literal constant.  jax 0.9 STAGES ops
+    # on concrete arrays into the jaxpr instead of folding them, and
+    # the resulting flip/tile chains reach XLA's SPMD partitioner as
+    # real HLO ops whose shardings must be propagated — the source of
+    # the "Involuntary full rematerialization" warnings on
+    # transpose(jvp(Discriminator))/*/rev in the 8-device dryrun
+    # (MULTICHIP_r03.json).  A literal constant partitions trivially.
+    if isinstance(kernel, jax.core.Tracer):
+        k = jnp.flip(kernel, (0, 1)).astype(jnp.float32)
+        k = jnp.tile(k[:, :, None, None], (1, 1, 1, c)).astype(x.dtype)
+    else:
+        k_np = np.flip(np.asarray(kernel, np.float32), (0, 1))
+        k = jnp.asarray(
+            np.tile(k_np[:, :, None, None], (1, 1, 1, c)), x.dtype)
 
     out = lax.conv_general_dilated(
         x,
@@ -194,19 +216,23 @@ def _depthwise_1d_pass(x, taps, axis: int, up: int, down: int,
     (axis=2) only."""
     c = x.shape[-1]
     k = len(taps)
-    kf = jnp.asarray(np.asarray(taps, np.float32)[::-1])
+    # numpy all the way to the final HWIO constant (see _upfirdn2d_conv:
+    # jax 0.9 stages concrete-array ops rather than folding them)
+    kf = np.asarray(taps, np.float32)[::-1]
     if axis == 1:
-        kern = jnp.tile(kf[:, None, None, None], (1, 1, 1, c))
+        kern = jnp.asarray(np.tile(kf[:, None, None, None], (1, 1, 1, c)),
+                           x.dtype)
         strides = (down, 1)
         padding = ((pad[0], pad[1] + up - 1), (0, 0))
         dil = (up, 1)
     else:
-        kern = jnp.tile(kf[None, :, None, None], (1, 1, 1, c))
+        kern = jnp.asarray(np.tile(kf[None, :, None, None], (1, 1, 1, c)),
+                           x.dtype)
         strides = (1, down)
         padding = ((0, 0), (pad[0], pad[1] + up - 1))
         dil = (1, up)
     return lax.conv_general_dilated(
-        x, kern.astype(x.dtype), strides, padding, lhs_dilation=dil,
+        x, kern, strides, padding, lhs_dilation=dil,
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
         precision=conv_precision(x.dtype))
 
