@@ -41,16 +41,22 @@ TARGET = 5000.0
 
 
 def build_sampler(cfg: ModelConfig, batch_per_chip: int, iters: int,
-                  mesh=None):
+                  mesh=None, init_params: bool = True):
     """Returns (params, jitted sample_many(params, key) -> checksum).
 
     With a mesh, every sampled batch is constrained to shard over its
     'data' axis (batch_per_chip images per device) and the params ride
     replicated — the nn.DataParallel-eval analogue, XLA-style.
+
+    ``init_params=False`` returns ShapeDtypeStructs instead of concrete
+    parameters (for AOT ``sample_many.lower(...)`` compile-only checks).
     """
     gen = Generator(cfg)
     z0 = jnp.zeros((1, cfg.n_tokens, cfg.style_dim), jnp.float32)
-    params = jax.jit(gen.init)(jax.random.PRNGKey(0), z0, z0)
+    if init_params:
+        params = jax.jit(gen.init)(jax.random.PRNGKey(0), z0, z0)
+    else:
+        params = jax.eval_shape(gen.init, jax.random.PRNGKey(0), z0, z0)
 
     n_dev = 1
     constraint = None
@@ -59,7 +65,12 @@ def build_sampler(cfg: ModelConfig, batch_per_chip: int, iters: int,
         from transeditor_tpu.parallel.mesh import replicated
         n_dev = mesh.shape["data"]
         constraint = NamedSharding(mesh, P("data"))
-        params = jax.device_put(params, replicated(mesh))
+        if init_params:
+            params = jax.device_put(params, replicated(mesh))
+        else:
+            params = jax.tree.map(
+                lambda s: jax.ShapeDtypeStruct(
+                    s.shape, s.dtype, sharding=replicated(mesh)), params)
     batch = batch_per_chip * n_dev
 
     @jax.jit

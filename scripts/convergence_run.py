@@ -30,6 +30,15 @@ Usage (on this box; ~30-45 min total on the v5e incl. warmup):
 
 Artifacts land in /tmp/convergence/; curves + grids are copied into
 docs/convergence/ for the round ledger.
+
+Round 4 (VERDICT r3 #2/#3) adds the FLAGSHIP-RESOLUTION treatment:
+``--size 256`` trains the production 256px / n_trans=8 / 512-channel
+config (train_spatial_query.py:381-391) for a few thousand full-cadence
+steps, and ``--enc_full_loss`` runs the encoder phase under the FULL
+reference loss — id_lambda=0.1 (seeded fabricated ArcFace: a fixed
+feature map is a valid ID-similarity space), w_norm vs the estimated
+latent average, and fake-guidance firing every ``fake_every=10`` steps
+(pSp/training/coach_new.py:138-152,285-320).
 """
 
 import argparse
@@ -44,6 +53,14 @@ WORK = "/tmp/convergence"
 
 SIZE = 64
 N_REAL = 8000
+
+
+def _cfg():
+    """The model under test: flagship defaults at >=256px, the round-3
+    reduced n_trans=2 variant below."""
+    from transeditor_tpu.config import ModelConfig
+    return ModelConfig(size=SIZE, n_trans=(8 if SIZE >= 256 else 2),
+                       dtype="bfloat16")
 
 
 # --------------------------------------------------------------- dataset
@@ -139,7 +156,7 @@ def phase_train(steps, fid_samples, seg_list):
     from transeditor_tpu.train.loop import train
     from transeditor_tpu.utils.sampling import sample_zp
 
-    cfg = ModelConfig(size=SIZE, n_trans=2, dtype="bfloat16")
+    cfg = _cfg()
     tcfg = TrainConfig(total_steps=steps + 1, batch_size=16,
                        sample_every=500, checkpoint_every=10 ** 9)
     gen = Generator(cfg)
@@ -234,19 +251,30 @@ def phase_train(steps, fid_samples, seg_list):
           f"({fN / max(f0, 1e-9):.3f}x)", flush=True)
 
 
-def phase_encoder(enc_steps):
-    """Coach val-loss descent against the freshly trained decoder."""
+def phase_encoder(enc_steps, full_loss: bool = False):
+    """Coach val-loss descent against the freshly trained decoder.
+
+    ``full_loss`` runs the FULL reference objective (VERDICT r3 #3):
+    id_lambda=0.1 with a seeded fabricated ArcFace (a fixed random
+    feature map — the similarity target is still a fixed function),
+    w_norm_lambda=0.005 vs the estimated latent average, and the
+    fake-guidance step firing every ``fake_every=10`` steps
+    (pSp/training/coach_new.py:138-152,285-320;
+    psp_training_options.py:78-87).
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from transeditor_tpu.config import ModelConfig, TrainConfig
+    from transeditor_tpu.config import TrainConfig
     from transeditor_tpu.io.checkpoint import restore_train_state
-    from transeditor_tpu.train.coach import CoachConfig, make_coach
+    from transeditor_tpu.train.coach import (CoachConfig,
+                                             make_arcface_id_loss,
+                                             make_coach)
     from transeditor_tpu.train.gan import init_state
     from transeditor_tpu.zoo.lpips import LPIPS
 
-    cfg = ModelConfig(size=SIZE, n_trans=2, dtype="bfloat16")
+    cfg = _cfg()
     tcfg = TrainConfig(batch_size=16)
     template = init_state(cfg, tcfg, jax.random.PRNGKey(0))
     gstate, _ = restore_train_state(
@@ -257,10 +285,28 @@ def phase_encoder(enc_steps):
     x0 = jnp.zeros((1, SIZE, SIZE, 3))
     lpips_params = lpips.init(jax.random.PRNGKey(0), x0, x0)
 
+    id_apply = None
+    latent_avg = None
+    id_lambda = w_norm_lambda = use_fake_lambda = 0.0
+    if full_loss:
+        from transeditor_tpu.models.irse import ArcFaceBackbone
+        from transeditor_tpu.models.psp import PSPModel
+        arc = ArcFaceBackbone()
+        arc_vars = arc.init(jax.random.PRNGKey(5),
+                            jnp.zeros((1, 112, 112, 3)))
+        id_apply = make_arcface_id_loss(
+            lambda v, img: arc.apply(v, img), arc_vars)
+        psp = PSPModel.create(cfg)
+        latent_avg = psp.estimate_latent_avg(
+            dec_params, jax.random.PRNGKey(1), n_samples=2048)
+        id_lambda, w_norm_lambda, use_fake_lambda = 0.1, 0.005, 0.1
+
     ccfg = CoachConfig(max_steps=enc_steps, batch_size=8,
-                       lpips_lambda=0.8, id_lambda=0.0, l2_lambda=1.0)
-    init_fn, train_step, eval_step, _ = make_coach(
-        cfg, ccfg, dec_params, lpips_params, None, None)
+                       lpips_lambda=0.8, id_lambda=id_lambda,
+                       l2_lambda=1.0, w_norm_lambda=w_norm_lambda,
+                       use_fake_lambda=use_fake_lambda, fake_every=10)
+    init_fn, train_step, eval_step, fake_step = make_coach(
+        cfg, ccfg, dec_params, lpips_params, id_apply, latent_avg)
     state = init_fn(jax.random.PRNGKey(2))
 
     real = np.load(os.path.join(WORK, "real_uint8.npy"))
@@ -277,17 +323,30 @@ def phase_encoder(enc_steps):
 
     rng = np.random.RandomState(0)
     curve = [{"step": 0, "val_loss": val_loss(state)}]
-    print(f"[enc 0] val={curve[0]['val_loss']:.4f}", flush=True)
+    print(f"[enc 0] val={curve[0]['val_loss']:.4f} "
+          f"(full_loss={full_loss})", flush=True)
     t0 = time.time()
+    fkey = jax.random.PRNGKey(33)
+    fake_loss = None
     for step in range(1, enc_steps + 1):
         idx = rng.randint(0, len(train_imgs), ccfg.batch_size)
         state, logs, _ = train_step(state, jnp.asarray(train_imgs[idx]))
+        if full_loss and step % ccfg.fake_every == 0:
+            # the reference's latent-cycle guidance on sampled fakes
+            state, fake_loss = fake_step(state,
+                                         jax.random.fold_in(fkey, step))
         if step % 100 == 0:
-            curve.append({"step": step, "val_loss": val_loss(state),
-                          "train_loss": float(logs["loss"]),
-                          "wall_s": round(time.time() - t0, 1)})
-            print(f"[enc {step}] val={curve[-1]['val_loss']:.4f} "
-                  f"train={curve[-1]['train_loss']:.4f}", flush=True)
+            row = {"step": step, "val_loss": val_loss(state),
+                   "train_loss": float(logs["loss"]),
+                   "wall_s": round(time.time() - t0, 1)}
+            for k in ("loss_id", "loss_w_norm", "loss_lpips", "loss_l2"):
+                if k in logs:
+                    row[k] = float(logs[k])
+            if fake_loss is not None:
+                row["fake_loss"] = float(fake_loss)
+            curve.append(row)
+            print(f"[enc {step}] val={row['val_loss']:.4f} "
+                  f"train={row['train_loss']:.4f}", flush=True)
             with open(os.path.join(WORK, "encoder_curve.json"),
                       "w") as f:
                 json.dump(curve, f, indent=1)
@@ -297,27 +356,39 @@ def phase_encoder(enc_steps):
 
 
 def main():
+    global SIZE, WORK
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", default="all",
                     choices=["all", "data", "train", "encoder"])
+    ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--fid_samples", type=int, default=2048)
     ap.add_argument("--enc_steps", type=int, default=600)
+    ap.add_argument("--enc_full_loss", action="store_true",
+                    help="full reference loss: id + w_norm + fake "
+                         "guidance (VERDICT r3 #3)")
+    ap.add_argument("--seg", type=int, default=0,
+                    help="fixed eval segment length (0 = the legacy "
+                         "500/1000/2000 schedule)")
     args = ap.parse_args()
 
+    SIZE = args.size
+    if SIZE != 64:
+        WORK = f"/tmp/convergence_{SIZE}"
+
     segs = []
-    left, seg = args.steps, 500
+    left, seg = args.steps, (args.seg or 500)
     while left > 0:
         segs.append(min(seg, left))
         left -= segs[-1]
-        if len(segs) >= 2:
+        if not args.seg and len(segs) >= 2:
             seg = 1000 if len(segs) == 2 else 2000
     if args.phase in ("all", "data"):
         phase_data()
     if args.phase in ("all", "train"):
         phase_train(args.steps, args.fid_samples, segs)
     if args.phase in ("all", "encoder"):
-        phase_encoder(args.enc_steps)
+        phase_encoder(args.enc_steps, full_loss=args.enc_full_loss)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,194 @@
+"""AOT-compile the FLAGSHIP programs on a virtual 8-device mesh.
+
+VERDICT r3 #1b: the 256px train-step (plain / full-reg / FSDP) and the
+batch-256 sampling program had only ever been compiled at toy shapes on
+a multi-device mesh; sharding pathologies are shape-dependent.  This
+script lowers and compiles all four at the production shapes
+(``/root/reference/train_spatial_query.py:381-391,494-509`` — 256px,
+batch 16/chip) over an 8-virtual-CPU-device (data=4, model=2) mesh
+(sampling over (data=8,)), captures the XLA compile log, and writes
+``docs/perf/flagship_mesh_compile_r4.json`` with per-variant compile
+wall time and spmd_partitioner warning counts.
+
+AOT only — ``.lower(...).compile()`` on ShapeDtypeStructs — so no
+parameter or activation memory is materialized; this certifies that the
+flagship programs PARTITION cleanly, which no real-chip resource on
+this box can otherwise exercise.
+
+Run:  python scripts/flagship_mesh_compile.py [--out PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import json
+import os
+import sys
+import tempfile
+import time
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+    " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    " --xla_cpu_collective_timeout_seconds=1200").strip()
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from transeditor_tpu.config import ModelConfig, TrainConfig
+from transeditor_tpu.parallel.mesh import (create_mesh,
+                                           param_partition_spec)
+from transeditor_tpu.train.gan import init_state, make_train_step
+
+WARN_TOKENS = ("spmd_partitioner", "Involuntary full rematerialization")
+
+
+@contextlib.contextmanager
+def capture_fd2():
+    """Capture OS-level stderr (XLA's C++ warnings bypass sys.stderr)."""
+    sys.stderr.flush()
+    saved = os.dup(2)
+    with tempfile.TemporaryFile(mode="w+b") as tf:
+        os.dup2(tf.fileno(), 2)
+        box = {}
+        try:
+            yield box
+        finally:
+            sys.stderr.flush()
+            os.dup2(saved, 2)
+            os.close(saved)
+            tf.seek(0)
+            box["text"] = tf.read().decode("utf-8", "replace")
+
+
+def state_shardings(state_sds, mesh, fsdp: bool):
+    """NamedSharding tree for a GANTrainState ShapeDtypeStruct tree:
+    param/opt trees via the model-axis (+FSDP) rule, scalars replicated."""
+    def place(path, leaf):
+        spec = param_partition_spec(path, leaf, mesh, fsdp=fsdp)
+        return NamedSharding(mesh, spec)
+    return jax.tree_util.tree_map_with_path(place, state_sds)
+
+
+def with_shardings(sds_tree, sharding_tree):
+    return jax.tree.map(
+        lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+        sds_tree, sharding_tree)
+
+
+def compile_one(label, lower_fn, report):
+    with capture_fd2() as box:
+        t0 = time.perf_counter()
+        compiled = lower_fn()
+        dt = time.perf_counter() - t0
+    log = box["text"]
+    warn_lines = [ln for ln in log.splitlines()
+                  if any(tok in ln for tok in WARN_TOKENS)]
+    # re-emit so the console run still shows everything
+    sys.stderr.write(log)
+    entry = {"compile_s": round(dt, 1), "spmd_warnings": len(warn_lines)}
+    try:
+        ma = compiled.memory_analysis()
+        if ma is not None:
+            entry["temp_bytes_per_device"] = int(
+                getattr(ma, "temp_size_in_bytes", 0))
+            entry["argument_bytes_per_device"] = int(
+                getattr(ma, "argument_size_in_bytes", 0))
+    except Exception:
+        pass
+    try:
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        if cost and "flops" in cost:
+            entry["flops_per_device"] = float(cost["flops"])
+    except Exception:
+        pass
+    if warn_lines:
+        entry["warning_sample"] = warn_lines[:3]
+    report[label] = entry
+    print(f"[{label}] compiled in {dt:.1f}s, "
+          f"{len(warn_lines)} spmd warnings", flush=True)
+    return compiled
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "..", "docs", "perf",
+        "flagship_mesh_compile_r4.json"))
+    ap.add_argument("--only", default=None,
+                    help="compile just this variant (debug iteration)")
+    args = ap.parse_args()
+
+    devices = jax.devices()
+    assert len(devices) >= 8, devices
+    mesh = create_mesh(n_data=4, n_model=2, devices=devices[:8])
+
+    cfg = ModelConfig(size=256, dtype="bfloat16")
+    tcfg = TrainConfig(batch_size=16 * 4)  # 16 per chip, the ref recipe
+
+    key0 = jax.eval_shape(lambda: jax.random.PRNGKey(0))
+    key_sds = jax.ShapeDtypeStruct(
+        key0.shape, key0.dtype, sharding=NamedSharding(mesh, P()))
+    real_sds = jax.ShapeDtypeStruct(
+        (tcfg.batch_size, cfg.size, cfg.size, 3), jnp.uint8,
+        sharding=NamedSharding(mesh, P("data")))
+    state_sds = jax.eval_shape(
+        lambda k: init_state(cfg, tcfg, k), jax.random.PRNGKey(0))
+
+    report = {"mesh": "data=4,model=2", "size": cfg.size,
+              "batch_per_chip": 16, "dtype": cfg.dtype}
+
+    step = make_train_step(cfg, tcfg)
+    reg = dict(do_d_reg=True, do_g_reg=True)
+    for name, fsdp, kw in (("plain", False, {}),
+                           ("fullreg", False, reg),
+                           ("fullreg_fsdp", True, reg)):
+        if args.only and name != args.only:
+            continue
+        st = with_shardings(state_sds, state_shardings(state_sds, mesh,
+                                                       fsdp=fsdp))
+        compile_one(
+            name,
+            lambda st=st, kw=kw: step.lower(
+                st, real_sds, key_sds, **kw).compile(),
+            report)
+
+    # batch-256 sampling (the serving/eval shape) over a pure-DP mesh
+    if args.only and args.only != "sampling_b256":
+        print(json.dumps(report, indent=1))
+        return
+    smesh = create_mesh(n_data=8, n_model=1, devices=devices[:8])
+    import bench
+    params_sds, sample_many, batch = bench.build_sampler(
+        cfg, batch_per_chip=32, iters=2, mesh=smesh, init_params=False)
+    skey_sds = jax.ShapeDtypeStruct(
+        key0.shape, key0.dtype, sharding=NamedSharding(smesh, P()))
+    assert batch == 256, batch
+    compile_one(
+        "sampling_b256",
+        lambda: sample_many.lower(params_sds, skey_sds).compile(),
+        report)
+
+    total_warn = sum(v.get("spmd_warnings", 0) for v in report.values()
+                     if isinstance(v, dict))
+    report["total_spmd_warnings"] = total_warn
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report, indent=1))
+    print("FLAGSHIP_COMPILE_OK" if total_warn == 0 else
+          "FLAGSHIP_COMPILE_WARNINGS", flush=True)
+
+
+if __name__ == "__main__":
+    main()

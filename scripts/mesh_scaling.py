@@ -68,9 +68,13 @@ def measure(n_dev: int) -> float:
     return batch * ITERS / best
 
 
-def measure_train(n_dev: int) -> float:
-    """Aggregate train img/s: full step (D+G+EMA; regs off — the 15/16
-    common case) on an (n_dev, 1) data mesh, per-chip batch fixed."""
+def measure_train(n_dev: int, fullreg: bool = False) -> float:
+    """Aggregate train img/s: full step (D+G+EMA) on an (n_dev, 1) data
+    mesh, per-chip batch fixed.  ``fullreg`` turns BOTH lazy
+    second-order regularizers on — gradient psums of the R1 and
+    path-length grad-of-grad passes are the heaviest collective load
+    the recipe ever produces (VERDICT r3 #4), so its overhead-vs-flat
+    is the honest upper bound on multi-chip sync cost."""
     from transeditor_tpu.config import TrainConfig
     from transeditor_tpu.parallel import shard_batch, shard_params
     from transeditor_tpu.train.gan import init_state, make_train_step
@@ -87,19 +91,34 @@ def measure_train(n_dev: int) -> float:
         jax.random.normal(jax.random.PRNGKey(1),
                           (tcfg.batch_size, CFG.size, CFG.size, 3)), mesh)
     step = make_train_step(CFG, tcfg)
-    state, m = step(state, real, jax.random.PRNGKey(2))   # compile+run
+    kw = dict(do_d_reg=True, do_g_reg=True) if fullreg else {}
+    state, m = step(state, real, jax.random.PRNGKey(2), **kw)
     assert np.isfinite(float(m["d"]))
+    if fullreg:
+        assert np.isfinite(float(m["r1"])) and np.isfinite(float(m["path"]))
     best = float("inf")
     for i in range(3):
         t0 = time.perf_counter()
-        state, m = step(state, real, jax.random.fold_in(jax.random.PRNGKey(3), i))
+        state, m = step(state, real,
+                        jax.random.fold_in(jax.random.PRNGKey(3), i), **kw)
         assert np.isfinite(float(m["d"]))                 # forces fetch
         best = min(best, time.perf_counter() - t0)
     return tcfg.batch_size / best
 
 
 def main():
-    fn = measure_train if "--train" in sys.argv else measure
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train", action="store_true")
+    ap.add_argument("--fullreg", action="store_true",
+                    help="train step with BOTH lazy regs on")
+    ap.add_argument("--out", default=None,
+                    help="also write the table to this JSON path")
+    args = ap.parse_args()
+    if args.train or args.fullreg:
+        fn = lambda n: measure_train(n, fullreg=args.fullreg)
+    else:
+        fn = measure
     base = None
     rows = []
     for n in (1, 2, 4, 8):
@@ -109,7 +128,14 @@ def main():
                      "img_per_s": round(rate, 1),
                      "vs_ideal_flat": round(rate / base, 3)})
         print(json.dumps(rows[-1]), flush=True)
-    print(json.dumps({"table": rows}))
+    table = {"mode": ("train_fullreg" if args.fullreg else
+                      "train" if args.train else "sampling"),
+             "size": CFG.size, "max_channels": CFG.max_channels,
+             "batch_per_chip": BATCH_PER_CHIP, "table": rows}
+    print(json.dumps(table))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(table, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -65,6 +65,24 @@ def test_train_trace_analysis_sane():
             > 1.5 * a["plain"]["total_tflops_per_step"])
 
 
+def test_flagship_mesh_compile_report():
+    """VERDICT r3 #1b: the FLAGSHIP 256px train step (plain, full-reg,
+    FSDP) and the batch-256 sampling program compiled on the 8-virtual-
+    device mesh with ZERO spmd_partitioner resharding warnings
+    (scripts/flagship_mesh_compile.py)."""
+    r = _load("flagship_mesh_compile_r4.json")
+    assert r["size"] == 256 and r["batch_per_chip"] == 16
+    for variant in ("plain", "fullreg", "fullreg_fsdp", "sampling_b256"):
+        assert variant in r, variant
+        assert r[variant]["compile_s"] > 0
+        assert r[variant]["spmd_warnings"] == 0, r[variant]
+    assert r["total_spmd_warnings"] == 0
+    # full-reg adds the two grad-of-grad passes: it must cost more to
+    # compile-analyze than plain if both really lowered the whole step
+    if "flops_per_device" in r["fullreg"] and "flops_per_device" in r["plain"]:
+        assert r["fullreg"]["flops_per_device"] > r["plain"]["flops_per_device"]
+
+
 def test_bench_numbers_consistent_with_trace_evidence():
     """VERDICT r3 #6: the driver-visible BENCH_r*.json line must stay
     within tolerance of the committed trace-derived evidence, so the

@@ -47,18 +47,29 @@ from jax import lax
 
 from transeditor_tpu.ops.precision import conv_precision
 
+try:  # private but pinned-env; _upfirdn2d_conv degrades gracefully
+    from jax._src.custom_derivatives import linear_call as _linear_call
+except ImportError:  # pragma: no cover
+    _linear_call = None
 
-def make_resample_kernel(k: Sequence[float]) -> jnp.ndarray:
+
+def make_resample_kernel(k: Sequence[float]) -> np.ndarray:
     """Build a normalized 2-D FIR kernel from a 1-D tap vector.
 
     Mirrors ``make_kernel`` (model_spatial_query.py:84-92): outer
     product of a 1-D kernel with itself, normalized to sum 1.
+
+    Returns NUMPY on purpose: inside a jit trace, jax 0.9 hoists a
+    concrete ``jnp`` array into a jaxpr constvar — a Tracer — so any
+    downstream is-it-static dispatch would take the traced path and
+    every op on it (flip/tile) would be staged into HLO.  Keeping the
+    taps in numpy until the final literal lets ``_upfirdn2d_conv``
+    build constant kernels the SPMD partitioner never has to reshard.
     """
     k = np.asarray(k, dtype=np.float32)
     if k.ndim == 1:
         k = np.outer(k, k)
-    k = k / k.sum()
-    return jnp.asarray(k)
+    return k / k.sum()
 
 
 def upfirdn2d(
@@ -92,7 +103,9 @@ def upfirdn2d(
         np.asarray(kernel).ndim
     if ndim == 1:
         return _upfirdn2d_separable(x, kernel, up, down, pad)
-    return _upfirdn2d_conv(x, jnp.asarray(kernel), (up, up), (down, down),
+    if not isinstance(kernel, (jax.core.Tracer, jax.Array)):
+        kernel = np.asarray(kernel)  # stay static -> literal path
+    return _upfirdn2d_conv(x, kernel, (up, up), (down, down),
                            (pad[0], pad[1], pad[0], pad[1]))
 
 
@@ -144,50 +157,98 @@ def _upfirdn2d_separable(x, k1, up, down, pad):
 
 
 def _upfirdn2d_conv(x, kernel, up, down, pad):
+    """Depthwise-conv lowering.  Concrete kernels (the model paths —
+    static ``blur_kernel`` tuples) take the explicit-transpose literal
+    path below; a traced kernel falls back to jax autodiff."""
+    if isinstance(kernel, jax.core.Tracer) or _linear_call is None:
+        up_y, up_x = up
+        down_y, down_x = down
+        pad_y0, pad_y1, pad_x0, pad_x1 = pad
+        c = x.shape[-1]
+        # True convolution == correlation with the flipped kernel.
+        k = jnp.flip(kernel, (0, 1)).astype(jnp.float32)
+        k = jnp.tile(k[:, :, None, None], (1, 1, 1, c)).astype(x.dtype)
+        return _depthwise_conv_raw(x, k, up, down, pad)
+    return _upfirdn2d_linear(x, np.asarray(kernel, np.float32), up, down,
+                             pad)
+
+
+def _depthwise_conv_raw(x, k_hwio, up, down, pad):
+    """One ``conv_general_dilated``: zero-stuff by ``up`` (lhs
+    dilation; the reference stuffs AFTER each sample — H*up elements —
+    so the (up-1) extra trailing zeros fold into the trailing pad),
+    pad, correlate with the HWIO kernel, keep every ``down``-th."""
     up_y, up_x = up
     down_y, down_x = down
     pad_y0, pad_y1, pad_x0, pad_x1 = pad
-    n, h, w, c = x.shape
-    kh, kw = kernel.shape
-
-    # lhs_dilation inserts zeros BETWEEN samples: (H-1)*up + 1 elements.
-    # The reference zero-stuffs AFTER each sample: H*up elements, i.e.
-    # (up-1) extra trailing zeros — fold them into the trailing pad.
-    extra_y = up_y - 1
-    extra_x = up_x - 1
-
-    # True convolution == correlation with the spatially flipped kernel.
-    # Depthwise: one shared filter per channel.  HWIO with I=1, O=C.
-    #
-    # Build the flipped+tiled kernel in NUMPY whenever the taps are
-    # concrete (they always are on the model paths — static blur_kernel
-    # tuples) so it embeds as ONE literal constant.  jax 0.9 STAGES ops
-    # on concrete arrays into the jaxpr instead of folding them, and
-    # the resulting flip/tile chains reach XLA's SPMD partitioner as
-    # real HLO ops whose shardings must be propagated — the source of
-    # the "Involuntary full rematerialization" warnings on
-    # transpose(jvp(Discriminator))/*/rev in the 8-device dryrun
-    # (MULTICHIP_r03.json).  A literal constant partitions trivially.
-    if isinstance(kernel, jax.core.Tracer):
-        k = jnp.flip(kernel, (0, 1)).astype(jnp.float32)
-        k = jnp.tile(k[:, :, None, None], (1, 1, 1, c)).astype(x.dtype)
-    else:
-        k_np = np.flip(np.asarray(kernel, np.float32), (0, 1))
-        k = jnp.asarray(
-            np.tile(k_np[:, :, None, None], (1, 1, 1, c)), x.dtype)
-
-    out = lax.conv_general_dilated(
+    return lax.conv_general_dilated(
         x,
-        k,
+        k_hwio,
         window_strides=(down_y, down_x),
-        padding=((pad_y0, pad_y1 + extra_y), (pad_x0, pad_x1 + extra_x)),
+        padding=((pad_y0, pad_y1 + up_y - 1), (pad_x0, pad_x1 + up_x - 1)),
         lhs_dilation=(up_y, up_x),
         rhs_dilation=(1, 1),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
+        feature_group_count=x.shape[-1],
         precision=conv_precision(x.dtype),
     )
-    return out
+
+
+def _tile_literal(k2d_np, c, dtype):
+    """[kh,kw] taps -> HWIO [kh,kw,1,c] literal, already flipped for
+    correlation==true-convolution.  ALL numpy: jax 0.9 stages ops on
+    concrete arrays into the jaxpr instead of folding them, and staged
+    flip/tile/reshape chains reach XLA's SPMD partitioner as real HLO
+    ops whose shardings must propagate — the source of every
+    "Involuntary full rematerialization" warning on
+    transpose(jvp(Discriminator))/*/rev in the 8-device dryruns
+    (MULTICHIP_r03.json).  A literal partitions trivially."""
+    k = np.flip(np.asarray(k2d_np, np.float32), (0, 1))
+    return jnp.asarray(np.tile(k[:, :, None, None], (1, 1, 1, c)), dtype)
+
+
+def _upfirdn2d_linear(x, k2d, up, down, pad):
+    """upfirdn with an EXPLICIT transpose (``jax.linear_call``).
+
+    jax's transpose rule for a grouped conv flips the kernel with
+    ``rev`` (+ ``reshape`` under some group layouts) — real HLO ops on
+    what is morally a compile-time constant, which GSPMD must then
+    reshard (the FSDP-variant warnings in flagship_mesh_compile_r4).
+    upfirdn is linear in ``x`` and its adjoint is ANOTHER upfirdn with
+    the flipped FIR kernel, up/down swapped, and the reference's own
+    swapped-pad rule (``utils/op/upfirdn2d.py:30-43``):
+
+        g_pad0 = k - 1 - pad0
+        g_pad1 = in*up - out*down + pad0 - up + 1
+
+    so both directions are plain depthwise convs over independent
+    numpy literals.  ``linear_call`` composes with jvp and transposes
+    to arbitrary order (transpose of the transpose is the forward),
+    which the R1 / path-length grad-of-grad regularizers need.
+    """
+    up_y, up_x = up
+    down_y, down_x = down
+    pad_y0, pad_y1, pad_x0, pad_x1 = pad
+    in_h, in_w = x.shape[1], x.shape[2]
+    kh, kw = k2d.shape
+    out_h = (in_h * up_y + pad_y0 + pad_y1 - kh) // down_y + 1
+    out_w = (in_w * up_x + pad_x0 + pad_x1 - kw) // down_x + 1
+    g_pad = (kh - pad_y0 - 1,
+             in_h * up_y - out_h * down_y + pad_y0 - up_y + 1,
+             kw - pad_x0 - 1,
+             in_w * up_x - out_w * down_x + pad_x0 - up_x + 1)
+
+    def fwd(_, xx):
+        return _depthwise_conv_raw(
+            xx, _tile_literal(k2d, xx.shape[-1], xx.dtype), up, down, pad)
+
+    def trans(_, ct):
+        return _depthwise_conv_raw(
+            ct, _tile_literal(np.flip(k2d, (0, 1)), ct.shape[-1],
+                              ct.dtype),
+            (down_y, down_x), (up_y, up_x), g_pad)
+
+    return _linear_call(fwd, trans, (), x)
 
 
 def _upsample_pads(k_len: int, factor: int) -> tuple[int, int]:
