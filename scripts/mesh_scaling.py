@@ -48,6 +48,7 @@ from transeditor_tpu.parallel import create_mesh  # noqa: E402
 
 BATCH_PER_CHIP = 8
 ITERS = 4
+REPS = 3
 # big enough that compute dwarfs dispatch, small enough for CPU
 CFG = ModelConfig(size=32, n_trans=2, max_channels=256, dtype="float32")
 
@@ -97,7 +98,7 @@ def measure_train(n_dev: int, fullreg: bool = False) -> float:
     if fullreg:
         assert np.isfinite(float(m["r1"])) and np.isfinite(float(m["path"]))
     best = float("inf")
-    for i in range(3):
+    for i in range(REPS):
         t0 = time.perf_counter()
         state, m = step(state, real,
                         jax.random.fold_in(jax.random.PRNGKey(3), i), **kw)
@@ -107,31 +108,52 @@ def measure_train(n_dev: int, fullreg: bool = False) -> float:
 
 
 def main():
+    global REPS
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--fullreg", action="store_true",
                     help="train step with BOTH lazy regs on")
     ap.add_argument("--out", default=None,
-                    help="also write the table to this JSON path")
+                    help="also write/merge the table to this JSON path")
+    ap.add_argument("--devices", default="1,2,4,8",
+                    help="mesh sizes to run in THIS process (fullreg "
+                         "steps cost ~dev x 36s on the 1-core box — "
+                         "run sizes as separate bounded processes and "
+                         "merge via --out)")
+    ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
+    REPS = args.reps
     if args.train or args.fullreg:
         fn = lambda n: measure_train(n, fullreg=args.fullreg)
     else:
         fn = measure
-    base = None
-    rows = []
-    for n in (1, 2, 4, 8):
+    mode = ("train_fullreg" if args.fullreg else
+            "train" if args.train else "sampling")
+    table = {"mode": mode, "size": CFG.size,
+             "max_channels": CFG.max_channels,
+             "batch_per_chip": BATCH_PER_CHIP, "table": []}
+    if args.out and os.path.exists(args.out):   # merge partial runs
+        with open(args.out) as f:
+            prev = json.load(f)
+        if prev.get("mode") == mode:
+            table = prev
+    done = {r["devices"] for r in table["table"]}
+    for n in [int(v) for v in args.devices.split(",")]:
+        if n in done:
+            continue
         rate = fn(n)
-        base = base or rate
-        rows.append({"devices": n, "global_batch": BATCH_PER_CHIP * n,
-                     "img_per_s": round(rate, 1),
-                     "vs_ideal_flat": round(rate / base, 3)})
-        print(json.dumps(rows[-1]), flush=True)
-    table = {"mode": ("train_fullreg" if args.fullreg else
-                      "train" if args.train else "sampling"),
-             "size": CFG.size, "max_channels": CFG.max_channels,
-             "batch_per_chip": BATCH_PER_CHIP, "table": rows}
+        table["table"].append(
+            {"devices": n, "global_batch": BATCH_PER_CHIP * n,
+             "img_per_s": round(rate, 1)})
+        print(json.dumps(table["table"][-1]), flush=True)
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(table, f, indent=1)
+    table["table"].sort(key=lambda r: r["devices"])
+    base = table["table"][0]["img_per_s"] if table["table"] else None
+    for r in table["table"]:
+        r["vs_ideal_flat"] = round(r["img_per_s"] / base, 3)
     print(json.dumps(table))
     if args.out:
         with open(args.out, "w") as f:

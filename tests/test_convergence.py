@@ -124,6 +124,23 @@ def test_committed_convergence_evidence_256():
     assert vals[-1] <= 1.1 * min(vals), vals
 
 
+def test_committed_reverse_interop_evidence():
+    """VERDICT r3 #7: a NATIVELY TRAINED 256px checkpoint exported to
+    the reference .pt layout loads strict=True in the reference
+    Generator (torch-CPU) and matches our forward pixel-for-pixel
+    (scripts/reverse_interop.py)."""
+    p = os.path.join(DOCS, "reverse_interop_r4.json")
+    if not os.path.exists(p):
+        pytest.skip("reverse-interop artifact not yet committed")
+    r = json.load(open(p))
+    assert r["size"] == 256 and r["strict_load"] is True
+    assert r["step"] > 0
+    assert r["mean_abs_err"] < 1e-3, r
+    # consumer-visible bound: both sides quantized the way reference
+    # scripts save images; <=2/255 per pixel
+    assert r["uint8_delta_max"] <= 2, r
+
+
 def test_committed_convergence_evidence():
     trend_p = os.path.join(DOCS, "trend.json")
     enc_p = os.path.join(DOCS, "encoder_curve.json")
