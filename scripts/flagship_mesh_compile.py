@@ -85,6 +85,53 @@ def with_shardings(sds_tree, sharding_tree):
         sds_tree, sharding_tree)
 
 
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4,
+                "u32": 4, "s8": 1, "u8": 1, "pred": 1}
+
+
+def collective_stats(hlo_text: str) -> dict:
+    """Sum the bytes each collective op moves in an optimized HLO
+    module — the hardware-relevant overhead statement for a REAL
+    multi-chip deployment (the virtual-CPU timing curve in
+    docs/perf/mesh_scaling_train_r4.json is confounded by 1-core
+    thread-rendezvous; collective BYTES are deterministic).
+
+    Counts the output shape of every all-reduce / reduce-scatter /
+    all-gather / collective-permute / all-to-all instruction.
+    """
+    import re
+    out = {}
+    # output type may be a TUPLE — XLA buckets gradient all-reduces
+    # into one op with a tuple result: `%ar = (f32[..], f32[..]) \
+    # all-reduce(...)`.  Capture the whole result-type string and sum
+    # every dtype[dims] inside it.
+    line_pat = re.compile(
+        r"=\s*((?:\([^)]*\))|(?:[a-z0-9]+\[[0-9,]*\][^=\s]*))\s+"
+        r"(all-reduce|reduce-scatter|all-gather|collective-permute"
+        r"|all-to-all)(?:-start)?\(")
+    shape_pat = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
+    for m in line_pat.finditer(hlo_text):
+        type_str, op = m.group(1), m.group(2)
+        nbytes = 0
+        for dt, dims in shape_pat.findall(type_str):
+            if dt not in _DTYPE_BYTES:
+                continue
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            nbytes += n * _DTYPE_BYTES[dt]
+        if nbytes == 0:
+            continue
+        key = op.replace("-", "_")
+        out.setdefault(key, {"ops": 0, "bytes": 0})
+        out[key]["ops"] += 1
+        out[key]["bytes"] += nbytes
+    out["total_bytes"] = sum(v["bytes"] for v in out.values()
+                             if isinstance(v, dict))
+    return out
+
+
 def compile_one(label, lower_fn, report):
     with capture_fd2() as box:
         t0 = time.perf_counter()
@@ -112,6 +159,10 @@ def compile_one(label, lower_fn, report):
             entry["flops_per_device"] = float(cost["flops"])
     except Exception:
         pass
+    try:
+        entry["collectives"] = collective_stats(compiled.as_text())
+    except Exception as e:
+        entry["collectives_error"] = f"{type(e).__name__}: {e}"
     if warn_lines:
         entry["warning_sample"] = warn_lines[:3]
     report[label] = entry
@@ -150,17 +201,30 @@ def main():
 
     step = make_train_step(cfg, tcfg)
     reg = dict(do_d_reg=True, do_g_reg=True)
-    for name, fsdp, kw in (("plain", False, {}),
-                           ("fullreg", False, reg),
-                           ("fullreg_fsdp", True, reg)):
+    # pure-DP mesh for the recommended-production comparison: the
+    # (4,2) tp=2 variants move activation-sized collectives (tens of
+    # GB/step at 256px — see the committed collectives numbers); dp8
+    # moves only gradient-sized all-reduces.  tp/FSDP remain the
+    # memory-relief options, dp the throughput recommendation
+    # (SURVEY §2.9: the scaling dimension is batch).
+    dp_mesh = create_mesh(n_data=8, n_model=1, devices=devices[:8])
+    for name, m, fsdp, kw in (("plain", mesh, False, {}),
+                              ("fullreg", mesh, False, reg),
+                              ("fullreg_fsdp", mesh, True, reg),
+                              ("fullreg_dp8", dp_mesh, False, reg)):
         if args.only and name != args.only:
             continue
-        st = with_shardings(state_sds, state_shardings(state_sds, mesh,
+        st = with_shardings(state_sds, state_shardings(state_sds, m,
                                                        fsdp=fsdp))
+        real_m = jax.ShapeDtypeStruct(
+            real_sds.shape, real_sds.dtype,
+            sharding=NamedSharding(m, P("data")))
+        key_m = jax.ShapeDtypeStruct(
+            key_sds.shape, key_sds.dtype, sharding=NamedSharding(m, P()))
         compile_one(
             name,
-            lambda st=st, kw=kw: step.lower(
-                st, real_sds, key_sds, **kw).compile(),
+            lambda st=st, kw=kw, real_m=real_m, key_m=key_m: step.lower(
+                st, real_m, key_m, **kw).compile(),
             report)
 
     # batch-256 sampling (the serving/eval shape) over a pure-DP mesh

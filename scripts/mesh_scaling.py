@@ -145,7 +145,7 @@ def main():
         rate = fn(n)
         table["table"].append(
             {"devices": n, "global_batch": BATCH_PER_CHIP * n,
-             "img_per_s": round(rate, 1)})
+             "img_per_s": round(rate, 3)})
         print(json.dumps(table["table"][-1]), flush=True)
         if args.out:
             with open(args.out, "w") as f:
