@@ -21,11 +21,9 @@ Run:  python scripts/flagship_mesh_compile.py [--out PATH]
 from __future__ import annotations
 
 import argparse
-import contextlib
 import json
 import os
 import sys
-import tempfile
 import time
 
 os.environ["XLA_FLAGS"] = (
@@ -41,7 +39,6 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from transeditor_tpu.config import ModelConfig, TrainConfig
@@ -52,22 +49,7 @@ from transeditor_tpu.train.gan import init_state, make_train_step
 WARN_TOKENS = ("spmd_partitioner", "Involuntary full rematerialization")
 
 
-@contextlib.contextmanager
-def capture_fd2():
-    """Capture OS-level stderr (XLA's C++ warnings bypass sys.stderr)."""
-    sys.stderr.flush()
-    saved = os.dup(2)
-    with tempfile.TemporaryFile(mode="w+b") as tf:
-        os.dup2(tf.fileno(), 2)
-        box = {}
-        try:
-            yield box
-        finally:
-            sys.stderr.flush()
-            os.dup2(saved, 2)
-            os.close(saved)
-            tf.seek(0)
-            box["text"] = tf.read().decode("utf-8", "replace")
+from transeditor_tpu.utils.capture import capture_fd2  # noqa: E402
 
 
 def state_shardings(state_sds, mesh, fsdp: bool):
@@ -133,15 +115,14 @@ def collective_stats(hlo_text: str) -> dict:
 
 
 def compile_one(label, lower_fn, report):
-    with capture_fd2() as box:
+    box = []
+    with capture_fd2(box):    # re-emits to real stderr in finally
         t0 = time.perf_counter()
         compiled = lower_fn()
         dt = time.perf_counter() - t0
-    log = box["text"]
+    log = box[-1]
     warn_lines = [ln for ln in log.splitlines()
                   if any(tok in ln for tok in WARN_TOKENS)]
-    # re-emit so the console run still shows everything
-    sys.stderr.write(log)
     entry = {"compile_s": round(dt, 1), "spmd_warnings": len(warn_lines)}
     try:
         ma = compiled.memory_analysis()
@@ -198,6 +179,11 @@ def main():
 
     report = {"mesh": "data=4,model=2", "size": cfg.size,
               "batch_per_chip": 16, "dtype": cfg.dtype}
+    if args.only and os.path.exists(args.out):
+        # debug iteration on one variant must MERGE into the committed
+        # report, never clobber the other variants' evidence
+        with open(args.out) as f:
+            report = json.load(f)
 
     step = make_train_step(cfg, tcfg)
     reg = dict(do_d_reg=True, do_g_reg=True)
@@ -228,20 +214,19 @@ def main():
             report)
 
     # batch-256 sampling (the serving/eval shape) over a pure-DP mesh
-    if args.only and args.only != "sampling_b256":
-        print(json.dumps(report, indent=1))
-        return
-    smesh = create_mesh(n_data=8, n_model=1, devices=devices[:8])
-    import bench
-    params_sds, sample_many, batch = bench.build_sampler(
-        cfg, batch_per_chip=32, iters=2, mesh=smesh, init_params=False)
-    skey_sds = jax.ShapeDtypeStruct(
-        key0.shape, key0.dtype, sharding=NamedSharding(smesh, P()))
-    assert batch == 256, batch
-    compile_one(
-        "sampling_b256",
-        lambda: sample_many.lower(params_sds, skey_sds).compile(),
-        report)
+    if not args.only or args.only == "sampling_b256":
+        smesh = create_mesh(n_data=8, n_model=1, devices=devices[:8])
+        import bench
+        params_sds, sample_many, batch = bench.build_sampler(
+            cfg, batch_per_chip=32, iters=2, mesh=smesh,
+            init_params=False)
+        skey_sds = jax.ShapeDtypeStruct(
+            key0.shape, key0.dtype, sharding=NamedSharding(smesh, P()))
+        assert batch == 256, batch
+        compile_one(
+            "sampling_b256",
+            lambda: sample_many.lower(params_sds, skey_sds).compile(),
+            report)
 
     total_warn = sum(v.get("spmd_warnings", 0) for v in report.values()
                      if isinstance(v, dict))

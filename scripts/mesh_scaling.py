@@ -61,7 +61,7 @@ def measure(n_dev: int) -> float:
     key = jax.random.PRNGKey(0)
     float(np.asarray(sample_many(params, key)))        # compile+run
     best = float("inf")
-    for i in range(3):
+    for i in range(REPS):
         t0 = time.perf_counter()
         acc = float(np.asarray(sample_many(params, jax.random.fold_in(key, i))))
         best = min(best, time.perf_counter() - t0)
@@ -138,6 +138,12 @@ def main():
             prev = json.load(f)
         if prev.get("mode") == mode:
             table = prev
+        else:
+            # a mode mismatch on a NAMED --out would silently clobber
+            # hours of committed 1-core measurements — refuse
+            ap.error(f"--out {args.out} holds mode={prev.get('mode')!r}"
+                     f", refusing to overwrite with mode={mode!r}; "
+                     "pass a different --out or delete the file")
     done = {r["devices"] for r in table["table"]}
     for n in [int(v) for v in args.devices.split(",")]:
         if n in done:

@@ -161,9 +161,6 @@ def _upfirdn2d_conv(x, kernel, up, down, pad):
     static ``blur_kernel`` tuples) take the explicit-transpose literal
     path below; a traced kernel falls back to jax autodiff."""
     if isinstance(kernel, jax.core.Tracer) or _linear_call is None:
-        up_y, up_x = up
-        down_y, down_x = down
-        pad_y0, pad_y1, pad_x0, pad_x1 = pad
         c = x.shape[-1]
         # True convolution == correlation with the flipped kernel.
         k = jnp.flip(kernel, (0, 1)).astype(jnp.float32)
