@@ -38,7 +38,9 @@ def capture_fd2(box: list):
         finally:
             tf.close()
         box.append(text)
-        # keep the log visible wherever it would have gone (on the
-        # exception path too — this is the evidence trail)
-        sys.stderr.write(text)
-        sys.stderr.flush()
+        if text:
+            # keep the log visible wherever it would have gone (on the
+            # exception path too — this is the evidence trail).  Write
+            # at the FD level: sys.stderr may be a replaced object
+            # (pytest capture) that no longer wraps fd 2.
+            os.write(2, text.encode("utf-8", "replace"))
