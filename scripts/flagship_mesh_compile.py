@@ -42,23 +42,9 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from transeditor_tpu.config import ModelConfig, TrainConfig
-from transeditor_tpu.parallel.mesh import (create_mesh,
-                                           param_partition_spec)
+from transeditor_tpu.parallel.mesh import create_mesh, param_shardings
 from transeditor_tpu.train.gan import init_state, make_train_step
-
-WARN_TOKENS = ("spmd_partitioner", "Involuntary full rematerialization")
-
-
-from transeditor_tpu.utils.capture import capture_fd2  # noqa: E402
-
-
-def state_shardings(state_sds, mesh, fsdp: bool):
-    """NamedSharding tree for a GANTrainState ShapeDtypeStruct tree:
-    param/opt trees via the model-axis (+FSDP) rule, scalars replicated."""
-    def place(path, leaf):
-        spec = param_partition_spec(path, leaf, mesh, fsdp=fsdp)
-        return NamedSharding(mesh, spec)
-    return jax.tree_util.tree_map_with_path(place, state_sds)
+from transeditor_tpu.utils.capture import capture_fd2, gspmd_warning_lines
 
 
 def with_shardings(sds_tree, sharding_tree):
@@ -116,13 +102,11 @@ def collective_stats(hlo_text: str) -> dict:
 
 def compile_one(label, lower_fn, report):
     box = []
-    with capture_fd2(box):    # re-emits to real stderr in finally
+    with capture_fd2(box):    # live-tees to the real stderr
         t0 = time.perf_counter()
         compiled = lower_fn()
         dt = time.perf_counter() - t0
-    log = box[-1]
-    warn_lines = [ln for ln in log.splitlines()
-                  if any(tok in ln for tok in WARN_TOKENS)]
+    warn_lines = gspmd_warning_lines(box[-1])
     entry = {"compile_s": round(dt, 1), "spmd_warnings": len(warn_lines)}
     try:
         ma = compiled.memory_analysis()
@@ -200,7 +184,7 @@ def main():
                               ("fullreg_dp8", dp_mesh, False, reg)):
         if args.only and name != args.only:
             continue
-        st = with_shardings(state_sds, state_shardings(state_sds, m,
+        st = with_shardings(state_sds, param_shardings(state_sds, m,
                                                        fsdp=fsdp))
         real_m = jax.ShapeDtypeStruct(
             real_sds.shape, real_sds.dtype,
@@ -215,13 +199,12 @@ def main():
 
     # batch-256 sampling (the serving/eval shape) over a pure-DP mesh
     if not args.only or args.only == "sampling_b256":
-        smesh = create_mesh(n_data=8, n_model=1, devices=devices[:8])
         import bench
         params_sds, sample_many, batch = bench.build_sampler(
-            cfg, batch_per_chip=32, iters=2, mesh=smesh,
+            cfg, batch_per_chip=32, iters=2, mesh=dp_mesh,
             init_params=False)
         skey_sds = jax.ShapeDtypeStruct(
-            key0.shape, key0.dtype, sharding=NamedSharding(smesh, P()))
+            key0.shape, key0.dtype, sharding=NamedSharding(dp_mesh, P()))
         assert batch == 256, batch
         compile_one(
             "sampling_b256",

@@ -33,6 +33,29 @@ def test_captures_and_reemits():
     os.close(r)
 
 
+def test_tee_is_live():
+    """The capture must be a live tee: text written inside the block is
+    visible on the REAL fd 2 before the block exits, so a hard abort
+    that bypasses ``finally`` (rendezvous F-abort, OOM SIGKILL) cannot
+    lose the log (round-4 review finding on the replay version)."""
+    import time
+    r, saved = _read_fd2_via_pipe()
+    try:
+        box = []
+        with capture_fd2(box):
+            os.write(2, b"live line\n")
+            deadline = time.time() + 10
+            got = b""
+            while b"live line" not in got and time.time() < deadline:
+                got += os.read(r, 4096)  # still INSIDE the block
+        assert got == b"live line\n"
+        assert box[-1] == "live line\n"
+    finally:
+        os.dup2(saved, 2)
+        os.close(saved)
+    os.close(r)
+
+
 def test_reemits_on_exception():
     """A failure inside the block must NOT lose the log (the r4 review
     finding: the old inline version re-emitted only on success)."""

@@ -41,6 +41,11 @@ def load_real_stats(path: str):
     except (ValueError, OSError, TypeError, zipfile.BadZipFile,
             pickle.UnpicklingError):
         z = None  # not npz/npy — fall through to the pickle format
+    if z is not None and not isinstance(z, np.lib.npyio.NpzFile):
+        # a bare .npy loads as an ndarray — it cannot hold the two
+        # named stats arrays, so treat it like any other non-npz file
+        # (the pickle branch below raises a sensible error for it)
+        z = None
     if z is not None:
         with z:
             # a successfully-opened npz missing both key spellings is a

@@ -47,10 +47,13 @@ from jax import lax
 
 from transeditor_tpu.ops.precision import conv_precision
 
-try:  # private but pinned-env; _upfirdn2d_conv degrades gracefully
-    from jax._src.custom_derivatives import linear_call as _linear_call
+try:  # public as of jax 0.9; _upfirdn2d_conv degrades gracefully
+    from jax.custom_derivatives import linear_call as _linear_call
 except ImportError:  # pragma: no cover
-    _linear_call = None
+    try:  # older layouts kept it private
+        from jax._src.custom_derivatives import linear_call as _linear_call
+    except ImportError:
+        _linear_call = None
 
 
 def make_resample_kernel(k: Sequence[float]) -> np.ndarray:
