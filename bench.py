@@ -105,17 +105,25 @@ def main():
     float(np.asarray(sample_many(params, key)))
 
     # the tunnelled chip shows high run-to-run variance (shared
-    # backend); report the best of several windows
-    best_dt = float("inf")
+    # backend); measure several windows and report best + median + std
+    # (VERDICT r4 #7: a single number hid the documented variance)
+    dts = []
     for i in range(5):
         t0 = time.perf_counter()
         acc = float(np.asarray(sample_many(params,
                                            jax.random.fold_in(key, i))))
-        best_dt = min(best_dt, time.perf_counter() - t0)
+        dts.append(time.perf_counter() - t0)
         assert np.isfinite(acc)
+    best_dt = min(dts)
 
-    imgs_per_sec_per_chip = (batch * ITERS_PER_CALL / best_dt
-                             / max(1, len(devices) if mesh else 1))
+    n_chips = max(1, len(devices) if mesh else 1)
+    per_window = [batch * ITERS_PER_CALL / dt / n_chips for dt in dts]
+    imgs_per_sec_per_chip = max(per_window)
+    variance_fields = {
+        "value_median": round(float(np.median(per_window)), 2),
+        "value_std": round(float(np.std(per_window)), 2),
+        "n_reps": len(per_window),
+    }
 
     # context extras, each hard-bounded by an alarm so a tunnel stall
     # can never cost the primary line; failures silently skip a field
@@ -208,6 +216,7 @@ def main():
         "value": round(imgs_per_sec_per_chip, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(imgs_per_sec_per_chip / TARGET, 4),
+        **variance_fields,
         **extras,
     }))
 

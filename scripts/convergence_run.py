@@ -143,7 +143,42 @@ def _color_moment_distance(a, b):
     return float(dm + dc)
 
 
-def phase_train(steps, fid_samples, seg_list):
+def _segment_trace(tb_dir, lo, hi):
+    """Aggregate the train loop's metrics.jsonl over steps [lo, hi):
+    mean D/G losses and score stats over every logged step, mean reg
+    magnitudes over the steps where the lazy cadence actually fired
+    (r1/path log 0.0 on off-steps).  VERDICT r4 weak #1: the committed
+    trend had no loss/reg traces alongside, so a quality regression was
+    visible but not diagnosable."""
+    import numpy as np
+    rows = []
+    path = os.path.join(tb_dir, "metrics.jsonl")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        for line in f:
+            try:
+                r = json.loads(line)
+            except ValueError:
+                continue
+            if lo <= r.get("step", -1) < hi:
+                rows.append(r)
+    if not rows:
+        return {}
+    out = {"n_logged": len(rows)}
+    for k in ("d", "g", "real_score", "fake_score", "imgs_per_sec"):
+        v = [r[k] for r in rows if k in r]
+        if v:
+            out[k] = round(float(np.mean(v)), 4)
+    for k in ("r1", "path", "path_length"):
+        v = [r[k] for r in rows if k in r and r[k] != 0.0]
+        if v:
+            out[k] = round(float(np.mean(v)), 4)
+            out[k + "_last"] = round(float(v[-1]), 4)
+    return out
+
+
+def phase_train(steps, fid_samples, seg_list, resume=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -157,7 +192,10 @@ def phase_train(steps, fid_samples, seg_list):
     from transeditor_tpu.utils.sampling import sample_zp
 
     cfg = _cfg()
-    tcfg = TrainConfig(total_steps=steps + 1, batch_size=16,
+    # total_steps is effectively unbounded here: segment boundaries (and
+    # --resume) drive how far we actually train, and a tight cap would
+    # silently truncate the resumed run's later segments
+    tcfg = TrainConfig(total_steps=10 ** 8, batch_size=16,
                        sample_every=500, checkpoint_every=10 ** 9)
     gen = Generator(cfg)
 
@@ -200,7 +238,9 @@ def phase_train(steps, fid_samples, seg_list):
         img = gen.apply({"params": params}, z, p).image
         return jnp.clip((img + 1) * 127.5, 0, 255).astype(jnp.uint8)
 
-    def eval_gen(params, tag):
+    real_pm1 = real[:1024].astype(np.float32) / 127.5 - 1
+
+    def eval_gen(params, tag, raw_params=None):
         ks = jax.random.split(jax.random.PRNGKey(777),
                               fid_samples // 64)
         fs, samples = [], []
@@ -212,46 +252,78 @@ def phase_train(steps, fid_samples, seg_list):
         gf = np.concatenate(fs)[:, sel]
         fid = frechet_distance(*_stats(gf), mu_r, sig_r)
         gen_imgs = np.concatenate(samples).astype(np.float32) / 127.5 - 1
-        cmd = _color_moment_distance(
-            gen_imgs, real[:1024].astype(np.float32) / 127.5 - 1)
-        print(f"[eval {tag}] fid={fid:.3f} color_moment={cmd:.4f}",
+        cmd = _color_moment_distance(gen_imgs, real_pm1)
+        row = {"tag": tag, "fid": float(fid), "color_moment": cmd}
+        if raw_params is not None:
+            # non-EMA G color moment (cheap: no inception pass) — tells
+            # EMA lag apart from a genuine G regression
+            raw = [np.asarray(sample_u8(raw_params, k)) for k in ks[:16]]
+            raw_imgs = np.concatenate(raw).astype(np.float32) / 127.5 - 1
+            row["color_moment_raw_g"] = _color_moment_distance(
+                raw_imgs, real_pm1)
+        print(f"[eval {tag}] fid={fid:.3f} color_moment={cmd:.4f} "
+              f"raw_g={row.get('color_moment_raw_g', float('nan')):.4f}",
               flush=True)
-        return {"tag": tag, "fid": float(fid), "color_moment": cmd}
+        return row
 
     loader = NativeLMDBLoader(os.path.join(WORK, "data"),
                               tcfg.batch_size, SIZE, seed=0,
                               as_uint8=True, workers=1)
 
+    from transeditor_tpu.io.checkpoint import (restore_train_state,
+                                               save_train_state)
+    from transeditor_tpu.train.gan import init_state
+
+    ckpt_dir = os.path.join(WORK, "gan", "checkpoint")
+    tb_dir = os.path.join(WORK, "gan", "tb")
+    trend_path = os.path.join(WORK, "trend.json")
     state = None
     done = 0
     rows = []
+    if resume:
+        # orbax restore at production shape (VERDICT r4 #1b): continue
+        # the committed run in a FRESH process from its last segment
+        # checkpoint, appending to the same trend file
+        template = init_state(cfg, tcfg, jax.random.PRNGKey(0))
+        state, done = restore_train_state(ckpt_dir, template)
+        with open(trend_path) as f:
+            rows = json.load(f)
+        assert rows[-1]["tag"] == f"step{done}", \
+            f"trend tail {rows[-1]['tag']} != checkpoint step {done}"
+        print(f"resumed from checkpoint step {done}", flush=True)
     t0 = time.time()
     for seg in seg_list:
         if state is None:
-            from transeditor_tpu.train.gan import init_state
             state = init_state(cfg, tcfg, jax.random.PRNGKey(0))
             rows.append(eval_gen(state.g_ema, "step0"))
         state = train(cfg, tcfg, loader, out_dir=WORK,
                       exp_name="gan", state=state, start_step=done,
                       max_steps=seg)
         done += seg
-        rows.append(eval_gen(state.g_ema, f"step{done}"))
+        rows.append(eval_gen(state.g_ema, f"step{done}",
+                             raw_params=state.params_g))
         rows[-1]["wall_s"] = round(time.time() - t0, 1)
-        with open(os.path.join(WORK, "trend.json"), "w") as f:
+        rows[-1]["trace"] = _segment_trace(tb_dir, done - seg, done)
+        # segment-boundary checkpoint: a crash costs one segment, and the
+        # final one is what --resume / phase_encoder restore.  Keep only
+        # the newest two (flagship states are ~1.3 GB each).
+        save_train_state(ckpt_dir, done, state, async_save=False)
+        import shutil
+        entries = [d for d in os.listdir(ckpt_dir) if d.isdigit()]
+        entries.sort(key=int, reverse=True)  # orbax zero-pads names
+        for old in entries[2:]:
+            shutil.rmtree(os.path.join(ckpt_dir, old),
+                          ignore_errors=True)
+        with open(trend_path, "w") as f:
             json.dump(rows, f, indent=1)
     loader.close()
-
-    # persist the trained decoder for the encoder phase
-    from transeditor_tpu.io.checkpoint import save_train_state
-    save_train_state(os.path.join(WORK, "gan", "checkpoint"), done,
-                     state, async_save=False)
     print(json.dumps(rows, indent=1), flush=True)
     f0, fN = rows[0]["fid"], rows[-1]["fid"]
     print(f"FID step0={f0:.2f} -> step{done}={fN:.2f} "
           f"({fN / max(f0, 1e-9):.3f}x)", flush=True)
 
 
-def phase_encoder(enc_steps, full_loss: bool = False):
+def phase_encoder(enc_steps, full_loss: bool = False, ab: bool = False):
     """Coach val-loss descent against the freshly trained decoder.
 
     ``full_loss`` runs the FULL reference objective (VERDICT r3 #3):
@@ -261,7 +333,26 @@ def phase_encoder(enc_steps, full_loss: bool = False):
     fake-guidance step firing every ``fake_every=10`` steps
     (pSp/training/coach_new.py:138-152,285-320;
     psp_training_options.py:78-87).
+
+    ``ab`` additionally repeats the run with ``use_fake_lambda=0.0``
+    (same seeds, same data order) and writes the curve to
+    ``encoder_curve_nofake.json`` — the cheap A/B VERDICT r4 #4 asks
+    for: either the guidance term earns its reference default or the
+    honest conclusion is "inert at this scale".
     """
+    if ab:
+        assert full_loss, "--enc_ab implies --enc_full_loss"
+        _run_coach(enc_steps, full_loss=True, fake_on=True,
+                   out_name="encoder_curve.json")
+        _run_coach(enc_steps, full_loss=True, fake_on=False,
+                   out_name="encoder_curve_nofake.json")
+        return
+    _run_coach(enc_steps, full_loss=full_loss, fake_on=full_loss,
+               out_name="encoder_curve.json")
+
+
+def _run_coach(enc_steps, full_loss: bool, fake_on: bool,
+               out_name: str):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -299,7 +390,8 @@ def phase_encoder(enc_steps, full_loss: bool = False):
         psp = PSPModel.create(cfg)
         latent_avg = psp.estimate_latent_avg(
             dec_params, jax.random.PRNGKey(1), n_samples=2048)
-        id_lambda, w_norm_lambda, use_fake_lambda = 0.1, 0.005, 0.1
+        id_lambda, w_norm_lambda = 0.1, 0.005
+        use_fake_lambda = 0.1 if fake_on else 0.0
 
     ccfg = CoachConfig(max_steps=enc_steps, batch_size=8,
                        lpips_lambda=0.8, id_lambda=id_lambda,
@@ -323,15 +415,15 @@ def phase_encoder(enc_steps, full_loss: bool = False):
 
     rng = np.random.RandomState(0)
     curve = [{"step": 0, "val_loss": val_loss(state)}]
-    print(f"[enc 0] val={curve[0]['val_loss']:.4f} "
-          f"(full_loss={full_loss})", flush=True)
+    print(f"[enc 0 -> {out_name}] val={curve[0]['val_loss']:.4f} "
+          f"(full_loss={full_loss}, fake_on={fake_on})", flush=True)
     t0 = time.time()
     fkey = jax.random.PRNGKey(33)
     fake_loss = None
     for step in range(1, enc_steps + 1):
         idx = rng.randint(0, len(train_imgs), ccfg.batch_size)
         state, logs, _ = train_step(state, jnp.asarray(train_imgs[idx]))
-        if full_loss and step % ccfg.fake_every == 0:
+        if full_loss and fake_on and step % ccfg.fake_every == 0:
             # the reference's latent-cycle guidance on sampled fakes
             state, fake_loss = fake_step(state,
                                          jax.random.fold_in(fkey, step))
@@ -347,8 +439,7 @@ def phase_encoder(enc_steps, full_loss: bool = False):
             curve.append(row)
             print(f"[enc {step}] val={row['val_loss']:.4f} "
                   f"train={row['train_loss']:.4f}", flush=True)
-            with open(os.path.join(WORK, "encoder_curve.json"),
-                      "w") as f:
+            with open(os.path.join(WORK, out_name), "w") as f:
                 json.dump(curve, f, indent=1)
     v0, vN = curve[0]["val_loss"], curve[-1]["val_loss"]
     print(f"coach val loss {v0:.4f} -> {vN:.4f} ({vN / v0:.3f}x)",
@@ -356,7 +447,7 @@ def phase_encoder(enc_steps, full_loss: bool = False):
 
 
 def main():
-    global SIZE, WORK
+    global SIZE, WORK, N_REAL
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", default="all",
                     choices=["all", "data", "train", "encoder"])
@@ -367,14 +458,35 @@ def main():
     ap.add_argument("--enc_full_loss", action="store_true",
                     help="full reference loss: id + w_norm + fake "
                          "guidance (VERDICT r3 #3)")
+    ap.add_argument("--enc_ab", action="store_true",
+                    help="run the coach twice (fake guidance on/off, "
+                         "same seeds) — VERDICT r4 #4's A/B")
     ap.add_argument("--seg", type=int, default=0,
                     help="fixed eval segment length (0 = the legacy "
                          "500/1000/2000 schedule)")
+    ap.add_argument("--n_real", type=int, default=8000,
+                    help="dataset size (smoke tests use a small one)")
+    ap.add_argument("--resume", action="store_true",
+                    help="restore the latest checkpoint under "
+                         "WORK/gan/checkpoint and train --steps MORE "
+                         "steps, appending to trend.json (exercises "
+                         "orbax restore at production shape)")
     args = ap.parse_args()
 
     SIZE = args.size
+    N_REAL = args.n_real
     if SIZE != 64:
         WORK = f"/tmp/convergence_{SIZE}"
+
+    import jax
+    if jax.default_backend() == "cpu":
+        # CPU smoke runs reuse the test suite's persistent compile
+        # cache; NEVER enable this on axon (it wedges the worker —
+        # CLAUDE.md)
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/jax_test_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.5)
 
     segs = []
     left, seg = args.steps, (args.seg or 500)
@@ -386,9 +498,11 @@ def main():
     if args.phase in ("all", "data"):
         phase_data()
     if args.phase in ("all", "train"):
-        phase_train(args.steps, args.fid_samples, segs)
+        phase_train(args.steps, args.fid_samples, segs,
+                    resume=args.resume)
     if args.phase in ("all", "encoder"):
-        phase_encoder(args.enc_steps, full_loss=args.enc_full_loss)
+        phase_encoder(args.enc_steps, full_loss=args.enc_full_loss,
+                      ab=args.enc_ab)
 
 
 if __name__ == "__main__":

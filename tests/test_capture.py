@@ -38,6 +38,7 @@ def test_tee_is_live():
     visible on the REAL fd 2 before the block exits, so a hard abort
     that bypasses ``finally`` (rendezvous F-abort, OOM SIGKILL) cannot
     lose the log (round-4 review finding on the replay version)."""
+    import select
     import time
     r, saved = _read_fd2_via_pipe()
     try:
@@ -47,7 +48,11 @@ def test_tee_is_live():
             deadline = time.time() + 10
             got = b""
             while b"live line" not in got and time.time() < deadline:
-                got += os.read(r, 4096)  # still INSIDE the block
+                # bounded poll: a regressed tee must FAIL the assert,
+                # not hang the suite in a blocking os.read (advisor r4)
+                ready, _, _ = select.select([r], [], [], 0.2)
+                if ready:
+                    got += os.read(r, 4096)  # still INSIDE the block
         assert got == b"live line\n"
         assert box[-1] == "live line\n"
     finally:

@@ -130,9 +130,16 @@ def test_bench_numbers_consistent_with_trace_evidence():
         assert 0.55 <= parsed["sampling_mfu_bf16"] <= 0.85, parsed
     # the headline throughput itself: the measured single-chip bf16
     # ceiling is ~1540 img/s (README journal); anything wildly off in
-    # either direction means the metric changed meaning
+    # either direction means the metric changed meaning.  Gate on the
+    # MEDIAN when the run-variance fields exist (VERDICT r4 #7) — the
+    # median is the robust center the shared-chip variance can't fake.
     if parsed.get("unit") == "img/s/chip":
         assert 1000 < parsed["value"] < 2500, parsed
+        if "value_median" in parsed:
+            assert 1000 < parsed["value_median"] <= parsed["value"], parsed
+            assert parsed["n_reps"] >= 3, parsed
+            assert 0 <= parsed["value_std"] < 0.3 * parsed["value_median"], \
+                parsed
 
 
 def test_committed_traces_parse():

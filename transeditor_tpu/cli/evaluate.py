@@ -122,6 +122,7 @@ def main(argv=None):
     ckpts = [args.ckpt] if args.ckpt else sorted(
         glob.glob(os.path.join(args.ckpt_dir, "*.pt")))
     best_fid, best_ckpt = float("inf"), None
+    results = []
     for ck in ckpts:
         gen_params = load_reference_generator(ck, cfg)
         report = evaluate_checkpoint(
@@ -160,10 +161,12 @@ def main(argv=None):
                                         batch=args.batch)
             print(json.dumps({"prdc": out["prdc"]}), flush=True)
         print(json.dumps(out), flush=True)
+        results.append(out)
         if report.fid is not None and report.fid < best_fid:
             best_fid, best_ckpt = report.fid, ck
     if args.fid and len(ckpts) > 1:
         print(json.dumps({"best_fid": best_fid, "best_ckpt": best_ckpt}))
+    return results
 
 
 if __name__ == "__main__":

@@ -211,8 +211,13 @@ def make_coach(cfg: ModelConfig, ccfg: CoachConfig, dec_params,
             _, zc, pc, new_stats = forward(frozen, enc_params,
                                            state.enc_stats,
                                            fake, train=True)
-            loss = (jnp.mean((z_plus - zc) ** 2)
-                    + jnp.mean((p_plus - pc) ** 2))
+            # latent MSE in f32 regardless of the compute dtype: the
+            # reference computes this loss in torch f32, and a bf16 MSE
+            # quantizes the logged value to ±0.002 — below the
+            # resolution needed to see the term learn (VERDICT r4 #4)
+            f32 = jnp.float32
+            loss = (jnp.mean((z_plus.astype(f32) - zc.astype(f32)) ** 2)
+                    + jnp.mean((p_plus.astype(f32) - pc.astype(f32)) ** 2))
             return ccfg.use_fake_lambda * loss, new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(

@@ -139,6 +139,54 @@ class MetricLogger:
             self.jsonl.close()
 
 
+class _DevicePrefetcher:
+    """Overlap host-side batch prep (loader decode + host->device upload)
+    with device compute.
+
+    Measured round 4 (v5e via axon, 256px/b16): the train step computes
+    in ~160 ms averaged over the lazy-reg cadence, but the loop ran at
+    ~750-800 ms/step — the serial ``next(data_iter)`` (C++ JPEG decode)
+    plus the synchronous ~3 MB uint8 upload through the tunnel dominated.
+    A depth-2 background thread that calls ``put_fn`` (device_put /
+    global_batch) ahead of the consumer hides both behind the in-flight
+    step.  Values and order are bit-identical to the serial path; only
+    timing changes.  The thread is a daemon and additionally honours
+    ``close()`` so tests don't leak it."""
+
+    def __init__(self, data_iter, put_fn, depth: int = 2):
+        import queue
+        import threading
+        self._q = queue.Queue(maxsize=depth)
+        self._stop = False
+
+        def worker():
+            try:
+                for x in data_iter:
+                    if self._stop:
+                        break
+                    self._q.put(put_fn(x))
+            except Exception as e:  # surface loader errors to consumer
+                self._q.put(e)
+
+        self._t = threading.Thread(target=worker, daemon=True)
+        self._t.start()
+
+    def __next__(self):
+        x = self._q.get()
+        if isinstance(x, Exception):
+            raise x
+        return x
+
+    def close(self):
+        self._stop = True
+        # unblock a producer stuck in q.put
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+
+
 def train(
     cfg: ModelConfig,
     tcfg: TrainConfig,
@@ -151,6 +199,7 @@ def train(
     max_steps: Optional[int] = None,
     fsdp: bool = False,
     use_wandb: bool = False,
+    prefetch: int = 2,
 ) -> GANTrainState:
     gen = Generator(cfg)
     rng = jax.random.PRNGKey(tcfg.seed)
@@ -206,18 +255,24 @@ def train(
 
     end = min(tcfg.total_steps,
               start_step + max_steps if max_steps else tcfg.total_steps)
+
+    if mesh is not None:
+        # multi-host: the loader yields this host's local shard and
+        # put_fn builds the data-sharded global batch; single-host:
+        # plain device_put with the 'data' sharding
+        def put_fn(x):
+            return global_batch(mesh, x)
+    else:
+        put_fn = jnp.asarray
+    fetcher = (_DevicePrefetcher(data_iter, put_fn, depth=prefetch)
+               if prefetch > 0 else None)
+
     t0 = time.perf_counter()
     imgs_seen = 0
     with GracefulShutdown() as stop:
         for i in range(start_step, end):
-            real = next(data_iter)
-            if mesh is not None:
-                # multi-host: `real` is this host's local shard and the
-                # result is the data-sharded global batch; single-host:
-                # plain device_put with the 'data' sharding
-                real = global_batch(mesh, real)
-            else:
-                real = jnp.asarray(real)
+            real = (next(fetcher) if fetcher is not None
+                    else put_fn(next(data_iter)))
             rng, step_key = jax.random.split(rng)
             state, metrics = step_fn(
                 state, real, step_key,
@@ -265,6 +320,8 @@ def train(
                           f"after step {i}, exiting", flush=True)
                 break
 
+    if fetcher is not None:
+        fetcher.close()
     wait_for_saves()
     logger.close()
     return state

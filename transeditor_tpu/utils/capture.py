@@ -51,8 +51,14 @@ def capture_fd2(box: list):
             chunks.append(b)
             # live tee at the FD level: sys.stderr may be a replaced
             # object (pytest capture) that no longer wraps fd 2, and C++
-            # writers never went through it anyway
-            os.write(saved, b)
+            # writers never went through it anyway.  If the real stderr
+            # is gone (EPIPE/closed), keep DRAINING regardless — a dead
+            # tee target must not back up the 64 KB pipe buffer and
+            # block every fd-2 writer in the process (advisor r4).
+            try:
+                os.write(saved, b)
+            except OSError:
+                pass
 
     t = threading.Thread(target=pump, daemon=True)
     t.start()
@@ -64,6 +70,15 @@ def capture_fd2(box: list):
         sys.stderr.flush()
         os.dup2(saved, 2)  # closes the last write end -> pump sees EOF
         t.join(timeout=10)
-        os.close(r)
-        os.close(saved)
+        if t.is_alive():
+            # a subprocess inherited the dup2'd write end and still holds
+            # it: the pump never saw EOF.  Closing r here would hand the
+            # fd number to unrelated code while the daemon thread still
+            # reads it (advisor r4) — leave both fds to the thread and
+            # report what we captured so far.
+            print("capture_fd2: pump still draining (inherited fd 2 "
+                  "write end?); leaving pipe open", file=sys.stderr)
+        else:
+            os.close(r)
+            os.close(saved)
         box.append(b"".join(chunks).decode("utf-8", "replace"))
