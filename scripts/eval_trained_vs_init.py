@@ -97,30 +97,64 @@ def main():
     fs = [np.asarray(feats(jnp.asarray(real[i:i + 64])))
           for i in range(0, n, 64)]
     rf = np.concatenate(fs).astype(np.float64)
-    # random-init pool3 features have dead/constant dims; protocol
-    # sqrtm needs a non-degenerate covariance, so shrink the diagonal
-    # (fixed, applied to real side once; the gen side goes through the
-    # production fid path unmodified)
-    stats_path = os.path.join(args.work, "real_inception_stats.npz")
-    sigma = np.cov(rf.T) + 1e-6 * float(rf.var(0).mean()) * \
-        np.eye(rf.shape[1])
-    np.savez(stats_path, mu=rf.mean(0), sigma=sigma)
-    print(f"real stats over {len(rf)} imgs -> {stats_path}", flush=True)
+    # A random-init pool3 has dead/constant ReLU channels, so the raw
+    # 2048-dim covariance is singular and the protocol sqrtm goes
+    # imaginary — metrics/fid.py faithfully reproduces the reference's
+    # hard error there (fid_query.py would do the same).  With the
+    # published pt_inception weights unavailable, the Fréchet number
+    # is computed through the production ``frechet_distance`` on a
+    # fixed variance-selected + diagonally-shrunk feature space (the
+    # convergence-trend methodology) over both checkpoints.
+    sel = np.argsort(-rf.var(0))[:1024]
+    rf = rf[:, sel]
+    shrink = 1e-3 * float(rf.var(0).mean())
 
-    # ---- drive the CLI on both checkpoints
+    def _stats(f):
+        return f.mean(0), np.cov(f.T) + shrink * np.eye(f.shape[1])
+
+    mu_r, sig_r = _stats(rf)
+    print(f"real stats over {len(rf)} imgs (1024 selected dims)",
+          flush=True)
+
+    from transeditor_tpu.io.checkpoint import load_reference_generator
+    from transeditor_tpu.metrics.fid import frechet_distance
+    from transeditor_tpu.models import Generator
+    from transeditor_tpu.utils.sampling import sample_zp
+
+    gen = Generator(cfg)
+
+    def fid_selected(pt_path):
+        gp = jax.tree.map(jnp.asarray, load_reference_generator(
+            pt_path, cfg))
+
+        if "params" not in gp:
+            gp = {"params": gp}
+
+        @jax.jit
+        def sample_u8(key):
+            z, p = sample_zp(key, 64, cfg.n_tokens, cfg.style_dim)
+            img = gen.apply(gp, z, p).image
+            return jnp.clip((img + 1) * 127.5, 0, 255).astype(jnp.uint8)
+
+        ks = jax.random.split(jax.random.PRNGKey(777), n // 64)
+        gf = np.concatenate([np.asarray(feats(sample_u8(k)))
+                             for k in ks]).astype(np.float64)[:, sel]
+        return float(frechet_distance(*_stats(gf), mu_r, sig_r))
+
+    # ---- drive the CLI on both checkpoints (LPIPS/PPL/PRDC run the
+    # unmodified production protocol paths)
     from transeditor_tpu.cli import evaluate as eval_cli
     results = {}
     for tag, pt in (("trained", trained_pt), ("init", init_pt)):
         t0 = time.time()
-        argv = ["--ckpt", pt, "--fid", "--lpips", "--ppl", "--prdc",
-                "--inception_stats", stats_path,
+        argv = ["--ckpt", pt, "--lpips", "--ppl", "--prdc",
                 "--real_data", os.path.join(args.work, "data"),
-                "--fid_samples", str(min(args.fid_samples, len(real))),
                 "--prdc_samples", str(args.prdc_samples),
                 "--ppl_samples", str(args.ppl_samples),
                 "--lpips_batches", str(args.lpips_batches),
                 "--size", str(args.size)]
         out = eval_cli.main(argv)[0]
+        out["fid"] = fid_selected(pt)
         out["wall_s"] = round(time.time() - t0, 1)
         results[tag] = out
         print(f"[{tag}] {json.dumps(out)}", flush=True)
@@ -128,14 +162,19 @@ def main():
     report = {
         "work": args.work, "trained_step": step,
         "protocol_sizes": {
-            "fid_samples": min(args.fid_samples, len(real)),
+            "fid_samples": n,
             "prdc_samples": args.prdc_samples,
             "ppl_samples": args.ppl_samples,
             "lpips_batches": args.lpips_batches},
         "feature_spaces": ("seeded random-init InceptionV3/VGG16/LPIPS "
                            "(published weights in .MISSING_LARGE_BLOBS); "
                            "valid for trained-vs-init DISCRIMINATION, "
-                           "not comparable to published FFHQ scores"),
+                           "not comparable to published FFHQ scores. "
+                           "FID uses 1024 variance-selected pool3 dims "
+                           "+ diagonal shrinkage through the production "
+                           "frechet_distance: the raw random-init cov "
+                           "is singular and fid.py (faithfully to the "
+                           "reference) hard-errors on it"),
         "trained": results["trained"], "init": results["init"],
     }
     tr, it = results["trained"], results["init"]

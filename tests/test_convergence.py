@@ -185,6 +185,33 @@ def test_committed_coach_fake_guidance_ab():
     assert abs(fin_on - fin_off) <= 0.15 * fin_off, (fin_on, fin_off)
 
 
+def test_committed_trained_eval_discrimination():
+    """VERDICT r4 #3: the FID/PRDC/PPL/LPIPS stacks, driven through
+    cli.evaluate on the trained 256px checkpoint vs its step-0 init
+    (scripts/eval_trained_vs_init.py), must DISCRIMINATE decisively —
+    the reference's own per-checkpoint quality loop
+    (metrics/evaluate_query.py:315-391) depends on exactly this."""
+    p = os.path.join(DOCS, "eval_trained_vs_init_r5.json")
+    if not os.path.exists(p):
+        pytest.skip("trained-vs-init eval artifact not yet committed")
+    r = json.load(open(p))
+    assert r["trained_step"] >= 10_000
+    d = r["discrimination"]
+    assert d["fid_ratio_trained_over_init"] < 0.05, d
+    tr, it = r["trained"], r["init"]
+    # trained has a real manifold; init (noise) has none
+    assert tr["prdc"]["precision"] > 0.5 > it["prdc"]["precision"], \
+        (tr["prdc"], it["prdc"])
+    assert tr["prdc"]["coverage"] > 0.5 > it["prdc"]["coverage"], \
+        (tr["prdc"], it["prdc"])
+    # plus-space PPL: the trained latent space is far smoother
+    assert tr["ppl"]["all"] < 0.5 * it["ppl"]["all"], (tr["ppl"],
+                                                      it["ppl"])
+    ps = r["protocol_sizes"]
+    assert ps["fid_samples"] >= 4096 and ps["prdc_samples"] >= 4096
+    assert ps["ppl_samples"] >= 2048
+
+
 def test_committed_reverse_interop_evidence():
     """VERDICT r3 #7: a NATIVELY TRAINED 256px checkpoint exported to
     the reference .pt layout loads strict=True in the reference
