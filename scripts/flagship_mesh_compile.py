@@ -140,7 +140,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "..", "docs", "perf",
-        "flagship_mesh_compile_r4.json"))
+        "flagship_mesh_compile_r5.json"))
     ap.add_argument("--only", default=None,
                     help="compile just this variant (debug iteration)")
     args = ap.parse_args()
@@ -169,7 +169,6 @@ def main():
         with open(args.out) as f:
             report = json.load(f)
 
-    step = make_train_step(cfg, tcfg)
     reg = dict(do_d_reg=True, do_g_reg=True)
     # pure-DP mesh for the recommended-production comparison: the
     # (4,2) tp=2 variants move activation-sized collectives (tens of
@@ -191,10 +190,14 @@ def main():
             sharding=NamedSharding(m, P("data")))
         key_m = jax.ShapeDtypeStruct(
             key_sds.shape, key_sds.dtype, sharding=NamedSharding(m, P()))
+        # per-mesh step: internally sampled batches constrained over
+        # 'data' (round-5 fix — without it GSPMD replicates the G-step
+        # and path-reg branches per chip; see make_train_step)
+        step = make_train_step(cfg, tcfg, mesh=m)
         compile_one(
             name,
-            lambda st=st, kw=kw, real_m=real_m, key_m=key_m: step.lower(
-                st, real_m, key_m, **kw).compile(),
+            lambda st=st, kw=kw, real_m=real_m, key_m=key_m,
+            step=step: step.lower(st, real_m, key_m, **kw).compile(),
             report)
 
     # batch-256 sampling (the serving/eval shape) over a pure-DP mesh

@@ -70,7 +70,6 @@ assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
 
 cfg = ModelConfig(size=256, dtype="bfloat16")
 tcfg = TrainConfig(batch_size=16 * 4)    # 16 per chip, the ref recipe
-step = make_train_step(cfg, tcfg)
 state_sds = jax.eval_shape(lambda k: init_state(cfg, tcfg, k),
                            jax.random.PRNGKey(0))
 key0 = jax.eval_shape(lambda: jax.random.PRNGKey(0))
@@ -82,6 +81,7 @@ variants = {
     "fullreg_dp8": create_mesh(n_data=8, n_model=1),
 }
 for name, mesh in variants.items():
+    step = make_train_step(cfg, tcfg, mesh=mesh)
     st = with_shardings(state_sds, param_shardings(state_sds, mesh))
     real_sds = jax.ShapeDtypeStruct(
         (tcfg.batch_size, cfg.size, cfg.size, 3), jnp.uint8,
@@ -125,7 +125,7 @@ def main():
     ap.add_argument("--out", default=os.path.join(
         REPO, "docs", "perf", "flagship_multihost_compile_r5.json"))
     ap.add_argument("--single_ref", default=os.path.join(
-        REPO, "docs", "perf", "flagship_mesh_compile_r4.json"))
+        REPO, "docs", "perf", "flagship_mesh_compile_r5.json"))
     args = ap.parse_args()
 
     port = _free_port()

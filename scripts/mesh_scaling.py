@@ -91,7 +91,7 @@ def measure_train(n_dev: int, fullreg: bool = False) -> float:
     real = shard_batch(
         jax.random.normal(jax.random.PRNGKey(1),
                           (tcfg.batch_size, CFG.size, CFG.size, 3)), mesh)
-    step = make_train_step(CFG, tcfg)
+    step = make_train_step(CFG, tcfg, mesh=mesh)
     kw = dict(do_d_reg=True, do_g_reg=True) if fullreg else {}
     state, m = step(state, real, jax.random.PRNGKey(2), **kw)
     assert np.isfinite(float(m["d"]))

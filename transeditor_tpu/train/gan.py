@@ -110,8 +110,20 @@ def _accum_mean(fn: Callable, xs, length: int):
 def make_train_step(cfg: ModelConfig, tcfg: TrainConfig,
                     gen: Optional[Generator] = None,
                     disc: Optional[Discriminator] = None,
-                    donate: bool = False) -> Callable:
+                    donate: bool = False, mesh=None) -> Callable:
     """Build the pure train step.  Call with static (do_d_reg, do_g_reg).
+
+    ``mesh``: on a multi-device mesh, every INTERNALLY SAMPLED batch
+    (G-step latents, path-reg latents, path noise images) is
+    constrained to shard over the 'data' axis.  Without the
+    constraint GSPMD is free to keep those branches replicated —
+    ``real`` is the only sharded input, and sharding does not
+    propagate INTO a program's random-bits sources — and on the
+    deviceless XLA:TPU AOT compile of the dp8 flagship step it did
+    exactly that: per-device FLOPs ~1.9x the sharded cost and batch-64
+    path-reg activations materialized whole per chip, blowing the
+    16 GB HBM budget (round 5; invisible to the resharding-warning
+    gate because replication emits no warning).
 
     ``donate=True`` donates the input state's buffers to the step so
     XLA updates params/optimizer state in place (halves the state's
@@ -142,8 +154,19 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig,
     def d_forward(params_d, img):
         return disc.apply({"params": params_d}, img)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        _data_sharded = NamedSharding(mesh, PartitionSpec("data"))
+
+        def constrain(x):
+            return jax.lax.with_sharding_constraint(x, _data_sharded)
+    else:
+        def constrain(x):
+            return x
+
     def sample(key, batch):
-        return sample_zp(key, batch, cfg.n_tokens, cfg.style_dim)
+        z, p = sample_zp(key, batch, cfg.n_tokens, cfg.style_dim)
+        return constrain(z), constrain(p)
 
     # ---------------- D ----------------
 
@@ -299,8 +322,8 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig,
             path_batch = max(1, real.shape[0] // tcfg.path_batch_shrink)
             kz, kn = jax.random.split(k_path)
             z, p = sample(kz, path_batch)
-            noise_img = losses.path_noise(
-                k_pnoise, (path_batch, cfg.size, cfg.size, 3))
+            noise_img = constrain(losses.path_noise(
+                k_pnoise, (path_batch, cfg.size, cfg.size, 3)))
             (_, (mean_pl, path_len, path_pen)), pg = jax.value_and_grad(
                 g_path_loss_fn, has_aux=True)(
                     params_g, z, p, noise_img, state.mean_path_length, kn)
@@ -317,8 +340,8 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig,
             path_batch = max(1, real.shape[0] // tcfg.path_batch_shrink)
             kz, kn2 = jax.random.split(k_sp)
             z, p = sample(kz, path_batch)
-            noise_img = losses.path_noise(
-                k_spn, (path_batch, cfg.size, cfg.size, 3))
+            noise_img = constrain(losses.path_noise(
+                k_spn, (path_batch, cfg.size, cfg.size, 3)))
             (_, (mean_spl, spl_len, spl_pen)), spg = jax.value_and_grad(
                 g_spatial_path_loss_fn, has_aux=True)(
                     params_g, z, p, noise_img,

@@ -222,7 +222,11 @@ def train(
             opt_d=(shard_params(state.opt_d, mesh, fsdp=True)
                    if fsdp else state.opt_d))
 
-    step_fn = make_train_step(cfg, tcfg)
+    # pass the mesh so internally sampled batches (G-step latents,
+    # path-reg latents/noise) are constrained over 'data' — without
+    # this GSPMD replicates those branches per chip (see
+    # make_train_step's docstring)
+    step_fn = make_train_step(cfg, tcfg, mesh=mesh)
 
     sample_dir = os.path.join(out_dir, exp_name, "sample")
     ckpt_dir = os.path.join(out_dir, exp_name, "checkpoint")
