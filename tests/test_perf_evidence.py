@@ -66,13 +66,15 @@ def test_train_trace_analysis_sane():
 
 
 def test_flagship_mesh_compile_report():
-    """VERDICT r3 #1b: the FLAGSHIP 256px train step (plain, full-reg,
-    FSDP) and the batch-256 sampling program compiled on the 8-virtual-
-    device mesh with ZERO spmd_partitioner resharding warnings
-    (scripts/flagship_mesh_compile.py)."""
-    r = _load("flagship_mesh_compile_r4.json")
+    """VERDICT r3 #1b (r5 refresh): the FLAGSHIP 256px train step
+    (plain, full-reg, FSDP, pure-DP) and the batch-256 sampling program
+    compiled on the 8-virtual-device mesh with ZERO spmd_partitioner
+    resharding warnings (scripts/flagship_mesh_compile.py) — now with
+    the round-5 sampled-batch sharding constraint in force."""
+    r = _load("flagship_mesh_compile_r5.json")
     assert r["size"] == 256 and r["batch_per_chip"] == 16
-    for variant in ("plain", "fullreg", "fullreg_fsdp", "sampling_b256"):
+    for variant in ("plain", "fullreg", "fullreg_fsdp", "fullreg_dp8",
+                    "sampling_b256"):
         assert variant in r, variant
         assert r[variant]["compile_s"] > 0
         assert r[variant]["spmd_warnings"] == 0, r[variant]
@@ -81,6 +83,32 @@ def test_flagship_mesh_compile_report():
     # compile-analyze than plain if both really lowered the whole step
     if "flops_per_device" in r["fullreg"] and "flops_per_device" in r["plain"]:
         assert r["fullreg"]["flops_per_device"] > r["plain"]["flops_per_device"]
+    # the round-5 regression guard for the replicated-sampled-batch
+    # defect: per-device FLOPs of the dp8 full-reg step must stay close
+    # to the (4,2) full-reg step's (the unfixed program was ~1.9x)
+    f_dp8 = r["fullreg_dp8"].get("flops_per_device")
+    f_tp = r["fullreg"].get("flops_per_device")
+    if f_dp8 and f_tp:
+        assert f_dp8 < 1.3 * 2 * f_tp, (f_dp8, f_tp)
+
+
+def test_deviceless_tpu_aot_report():
+    """Round 5: the flagship multi-chip variants compiled with the REAL
+    XLA:TPU compiler against a deviceless v5e:2x4 topology — per-chip
+    buffer assignment from the backend that will run them.  All must
+    fit a 16 GB v5e at batch 16/chip (scripts/deviceless_tpu_aot.py;
+    this compile is what caught the replicated-sampled-batch defect)."""
+    r = _load("deviceless_tpu_aot_r5.json")
+    assert r["batch_per_chip"] == 16 and r["size"] == 256
+    for name in ("fullreg_dp8", "fullreg_tp2", "fullreg_tp2_fsdp"):
+        v = r[name]
+        assert "error" not in v, v
+        assert v["fits_16g_v5e"] is True, (name, v)
+        assert 2 * 1024 ** 3 < v["est_peak_bytes_donated"] < 8 * 1024 ** 3
+    # dp8 runs the whole 16-image microbatch per chip; tp=2 splits the
+    # model dim, so its per-device FLOPs must be LOWER than dp8's
+    assert (r["fullreg_tp2"]["flops_per_device"]
+            < r["fullreg_dp8"]["flops_per_device"])
 
 
 def test_bench_numbers_consistent_with_trace_evidence():
