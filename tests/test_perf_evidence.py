@@ -111,6 +111,25 @@ def test_deviceless_tpu_aot_report():
             < r["fullreg_dp8"]["flops_per_device"])
 
 
+def test_flagship_multihost_compile_report():
+    """VERDICT r4 #5: the flagship 256px full-reg step compiled under a
+    REAL 2-process jax.distributed mesh (2 hosts x 4 virtual devices)
+    with zero GSPMD warnings on BOTH ranks, and collective-byte
+    accounting byte-identical to the single-process certification
+    (scripts/flagship_multihost_compile.py)."""
+    r = _load("flagship_multihost_compile_r5.json")
+    assert r["topology"].startswith("2 processes")
+    assert r["size"] == 256 and r["batch_per_chip"] == 16
+    assert r["total_spmd_warnings"] == 0
+    for name in ("fullreg", "fullreg_dp8"):
+        assert r[name]["compile_s_rank0"] > 0
+        assert r[name]["compile_s_rank1"] > 0
+        assert r[name]["spmd_warnings"] == 0
+        cmp = r["vs_single_process"][name]
+        assert cmp["match"] is True, cmp
+        assert cmp["multihost_bytes"] == cmp["single_process_bytes"] > 0
+
+
 def test_bench_numbers_consistent_with_trace_evidence():
     """VERDICT r3 #6: the driver-visible BENCH_r*.json line must stay
     within tolerance of the committed trace-derived evidence, so the
