@@ -25,12 +25,15 @@ basis.  This script produces a defensible one:
    16.18 GB > 15.75 GB (README journal), which validates the numbers
    against device reality.  That temp figure anchors the
    activation/workspace term below.
-3. **Deviceless TPU AOT attempt** — tries to build a v5e topology
-   (``jax.experimental.topologies``) and compile the flagship step for
-   it, which would yield XLA:TPU's own per-chip memory analysis.  On
-   this box libtpu is only reachable through the axon tunnel, so the
-   expected outcome is a documented failure (the VERDICT asks for the
-   attempt either way).
+3. **Deviceless TPU AOT cross-check** — the v5e topology API turned
+   out to WORK on this box (the TPU compiler is local; only devices
+   are remote), so ``scripts/deviceless_tpu_aot.py`` compiles the
+   actual multi-chip programs with XLA:TPU and this report
+   cross-checks the analytic model against those authoritative
+   numbers (``vs_deviceless_xla_tpu``): dp8 agrees to 0.7%; the tp=2
+   analytic figure runs ~15% under because the single-chip anchor
+   cannot see tp's all-gather workspace — for tp=2 the deviceless
+   numbers govern.
 
 Writes docs/perf/hbm_model_r5.json.
 
@@ -164,12 +167,11 @@ def main():
     report["deviceless_tpu_aot"] = aot
 
     # ---- fit verdicts
-    # activation/workspace anchor: the measured single-chip watermark
-    # minus the single-chip state (both measured/exact) bounds the
-    # activation+workspace term of the batch-16 program; dp variants run
-    # THE SAME per-chip program, tp=2 variants run a smaller one
-    # (activations split over 'model' for the sharded convs), so using
-    # the dp anchor for them overstates — a conservative fit test.
+    # activation/workspace anchor: XLA:TPU's temp for the single-chip
+    # batch-16 program.  Exact for the dp variants (same per-chip
+    # program; cross-check ratio 1.007); ~15% UNDER for tp=2 (tp adds
+    # all-gather workspace the anchor can't see) — the deviceless
+    # XLA:TPU compile is authoritative there (vs_deviceless_xla_tpu).
     act = None
     basis = None
     if measured and "train_fullreg_peak_bytes" in measured:
@@ -191,9 +193,13 @@ def main():
                                        0))
         report["activation_workspace_bytes_xla_tpu"] = act
         basis = ("exact state shards + XLA:TPU AOT temp of the "
-                 "single-chip full-reg step (upper bound for tp=2; "
-                 "validated against the measured batch-512 sampling "
-                 "OOM)")
+                 "single-chip full-reg step (near-exact for dp8 — "
+                 "ratio 1.007 vs the deviceless XLA:TPU compile; "
+                 "~15% UNDER for tp=2, whose all-gather workspace "
+                 "the single-chip anchor cannot see — the deviceless "
+                 "numbers in vs_deviceless_xla_tpu are authoritative; "
+                 "anchor validated against the measured batch-512 "
+                 "sampling OOM)")
     for name in variants:
         entry = report[name]
         if act is not None:
@@ -206,6 +212,27 @@ def main():
         else:
             entry["fits_16g_v5e"] = None
             entry["basis"] = "state bytes exact; activations unmeasured"
+
+    # ---- cross-check vs the deviceless XLA:TPU per-chip compile
+    # (scripts/deviceless_tpu_aot.py): the analytic model and the real
+    # TPU buffer assignment must agree for the variants both cover
+    dl_path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                           "perf", "deviceless_tpu_aot_r5.json")
+    if os.path.exists(dl_path):
+        with open(dl_path) as f:
+            dl = json.load(f)
+        cross = {}
+        for model_name, dl_name in (("dp8", "fullreg_dp8"),
+                                    ("tp2", "fullreg_tp2"),
+                                    ("tp2_fsdp", "fullreg_tp2_fsdp")):
+            est = report[model_name].get("est_peak_bytes")
+            got = (dl.get(dl_name) or {}).get("est_peak_bytes_donated")
+            if est and got:
+                cross[model_name] = {
+                    "model_gib": round(est / 1024 ** 3, 2),
+                    "xla_tpu_gib": round(got / 1024 ** 3, 2),
+                    "ratio": round(est / got, 3)}
+        report["vs_deviceless_xla_tpu"] = cross
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out, "w") as f:
