@@ -95,10 +95,11 @@ def test_committed_fullreg_train_scaling_artifact():
         assert r["img_per_s"] > 0
         assert r["global_batch"] == t["batch_per_chip"] * r["devices"]
     # the flagship report's collective accounting must exist alongside
+    # (r5: regenerated with the sampled-batch sharding constraint)
     fp = os.path.join(os.path.dirname(__file__), "..", "docs", "perf",
-                      "flagship_mesh_compile_r4.json")
+                      "flagship_mesh_compile_r5.json")
     if not os.path.exists(fp):
-        pytest.skip("flagship_mesh_compile_r4.json not committed")
+        pytest.skip("flagship_mesh_compile_r5.json not committed")
     f = json.load(open(fp))
     for variant in ("plain", "fullreg", "fullreg_fsdp", "fullreg_dp8"):
         c = f[variant].get("collectives")

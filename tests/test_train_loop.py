@@ -105,8 +105,13 @@ def test_train_loop_preemption_checkpoint(tmp_path):
             yield batch
 
     prev_handler = signal.getsignal(signal.SIGTERM)
+    # prefetch=0: this test pins EXACT step-boundary accounting via the
+    # iterator as the signal vehicle; with the default prefetcher the
+    # iterator runs ~depth batches ahead of the loop, so the signal
+    # would land earlier (the prefetching variant is covered by
+    # test_train_loop_preemption_with_prefetch)
     state = train(cfg, tcfg, preempting_iter(), out_dir=str(tmp_path),
-                  exp_name="p", mesh=None)
+                  exp_name="p", mesh=None, prefetch=0)
     assert int(state.step) == 3  # steps 0..2 ran, 3..49 preempted away
     restored, step = restore_train_state(
         str(tmp_path / "p" / "checkpoint"), state)
@@ -133,6 +138,44 @@ def test_train_loop_preemption_checkpoint(tmp_path):
     assert start_step == int(restored.step)
     resumed = train(cfg, tcfg, tracking_iter(), out_dir=str(tmp_path),
                     exp_name="p", mesh=None, state=restored,
-                    start_step=start_step, max_steps=1)
+                    start_step=start_step, max_steps=1, prefetch=0)
     assert len(executed) == 1  # exactly one step (index 3) executed
     assert int(resumed.step) == 4  # steps 0..3 have now run, none skipped
+
+
+def test_train_loop_preemption_with_prefetch(tmp_path):
+    """Preemption under the DEFAULT device-prefetcher (round 5): the
+    iterator runs ahead of the loop, so the exact interrupt step is
+    pipeline-dependent — what must hold is the CONTRACT: the loop exits
+    cleanly after some completed step s >= 0, writes the shutdown
+    checkpoint under the cadence name s, and a resume from s+1 executes
+    step s+1 (at most one step lost, none skipped)."""
+    cfg = ModelConfig(size=16, style_dim=32, param_dim=32, max_channels=32,
+                      n_trans=1)
+    tcfg = TrainConfig(total_steps=50, batch_size=4, n_sample=4,
+                       sample_every=1000, checkpoint_every=1000)
+    data = np.random.RandomState(0).randint(
+        0, 255, (16, 16, 16, 3), np.uint8)
+    base = make_train_iterator(ArraySource(data), 4, 16)
+
+    def preempting_iter():
+        n = 0
+        for batch in base:
+            if n == 4:
+                os.kill(os.getpid(), signal.SIGTERM)
+            n += 1
+            yield batch
+
+    state = train(cfg, tcfg, preempting_iter(), out_dir=str(tmp_path),
+                  exp_name="pp", mesh=None)
+    s = int(state.step) - 1
+    assert 0 <= s < 49  # preempted, not run to completion
+    restored, step = restore_train_state(
+        str(tmp_path / "pp" / "checkpoint"), state)
+    assert step == s
+    np.testing.assert_array_equal(
+        np.asarray(restored.step), np.asarray(state.step))
+    resumed = train(cfg, tcfg, base, out_dir=str(tmp_path),
+                    exp_name="pp", mesh=None, state=restored,
+                    start_step=step + 1, max_steps=1)
+    assert int(resumed.step) == s + 2  # step s+1 executed next
